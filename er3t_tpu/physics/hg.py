@@ -14,9 +14,12 @@ __all__ = ['hg_phase', 'sample_hg_mu']
 
 
 def hg_phase(g, mu):
-    """HG phase function P(mu), normalized so that integral over mu is 2."""
+    """HG phase function P(mu), normalized so that integral over mu is 2
+    (i.e. integral over solid angle of P/(4 pi) is 1 — the framework-wide
+    convention; the reference's tabulation carries an extra 1/2,
+    pha_hg.py:10-27, which its solver renormalizes away)."""
     g = np.asarray(g, dtype=np.float64)
-    return 0.5 * (1.0 - g * g) / (1.0 - 2.0 * g * mu + g * g) ** 1.5
+    return (1.0 - g * g) / (1.0 - 2.0 * g * mu + g * g) ** 1.5
 
 
 def sample_hg_mu(g, u):

@@ -68,22 +68,32 @@ def _layer_de(tau, omega, g, mu0):
 
 
 def _meador_weaver_direct(tau, omega, g1, g2, g3, g4, k, mu0, Tdd):
-    """Meador & Weaver (1980) eq. 14/15 direct-beam R and diffuse T."""
+    """Meador & Weaver (1980) / Toon et al. (1989) direct-beam R and diffuse T.
+
+    Normalized by exp(+k*tau) for numerical stability: with E = exp(-k*tau)
+    and Ed = exp(-tau/mu0),
+
+        D' = (1 - k^2 mu0^2) [(k + g1) + (k - g1) E^2]
+        R  = (w/D') [(1-k mu0)(a2+k g3) - (1+k mu0)(a2-k g3) E^2
+                     - 2k (g3 - a2 mu0) E Ed]
+        Td = (w/D') [2k (g4 + a1 mu0) E - (1+k mu0)(a1+k g4) Ed
+                     + (1-k mu0)(a1-k g4) E^2 Ed]
+    """
     ktau = np.minimum(k * tau, 50.0)
-    ek, emk = np.exp(ktau), np.exp(-ktau)
-    alpha1 = g1 * g4 + g2 * g3
-    alpha2 = g1 * g3 + g2 * g4
-    denom = (1.0 - (k * mu0) ** 2) * (k + g1 + (k - g1) * emk * emk)
+    E = np.exp(-ktau)
+    a1 = g1 * g4 + g2 * g3
+    a2 = g1 * g3 + g2 * g4
+    denom = (1.0 - (k * mu0) ** 2) * (k + g1 + (k - g1) * E * E)
     denom = np.where(np.abs(denom) < 1e-12, np.sign(denom + 1e-30) * 1e-12, denom)
 
     R = (omega / denom) * (
-        (1.0 - k * mu0) * (alpha2 + k * g3) - (1.0 + k * mu0) * (alpha2 - k * g3) * emk * emk
-        - 2.0 * k * (g3 - alpha2 * mu0) * emk * Tdd)
-    T = -(omega / denom) * emk * (
-        (1.0 + k * mu0) * (alpha1 + k * g4)
-        - (1.0 - k * mu0) * (alpha1 - k * g4) * emk * emk) * Tdd \
-        + (omega / denom) * 2.0 * k * (g4 + alpha1 * mu0) * emk
-    # T above is total diffuse transmittance for direct incidence
+        (1.0 - k * mu0) * (a2 + k * g3)
+        - (1.0 + k * mu0) * (a2 - k * g3) * E * E
+        - 2.0 * k * (g3 - a2 * mu0) * E * Tdd)
+    T = (omega / denom) * (
+        2.0 * k * (g4 + a1 * mu0) * E
+        - (1.0 + k * mu0) * (a1 + k * g4) * Tdd
+        + (1.0 - k * mu0) * (a1 - k * g4) * E * E * Tdd)
     return np.clip(R, 0.0, 1.0), np.clip(T, 0.0, None)
 
 

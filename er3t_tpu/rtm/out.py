@@ -1,0 +1,87 @@
+"""Spectral reduction of raw tallies to physical radiance / irradiance.
+
+Reproduces the reference's normalization chain
+(/root/reference/er3t/rtm/mca/mca_out.py:311-328, 444-453):
+
+    factor(iz, ig) = sol_fac * solar(ig) * weight(ig) * slit(iz, ig)
+                     / sum_g[weight * slit(iz, :)]
+
+applied to per-g raw outputs and summed over g; means/stds over the Nrun
+independent repeats are computed by the solver driver.
+
+Raw-tally units: the transport kernel launches photons of unit weight from
+TOA, so per-photon tallies are normalized to unit *horizontal* TOA solar
+flux: raw_flux = tally/N * mu0 and raw_radiance = tally/N * mu0 * nx * ny
+(pixel-area normalization) are the direct MCARaTS raw-output equivalents.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..physics.solar import sol_fac as _sol_fac
+
+__all__ = ['spectral_factors', 'reduce_flux', 'reduce_radiance', 'heating_rate']
+
+
+def spectral_factors(abs_coef, date=None, nz_out: int | None = None):
+    """(Nz_out, Ng) factors + scalar TOA irradiance (reference protocol)."""
+    w = abs_coef.weight
+    slit = abs_coef.slit_func
+    sol = abs_coef.solar
+    sf = _sol_fac(date)
+    nz = nz_out or slit.shape[0] + 1
+    zz = np.arange(nz)
+    zz = np.clip(zz, 0, slit.shape[0] - 1)
+    if nz > 1:
+        zz[-1] = zz[-2]
+    norm = sf / (w[None, :] * slit[zz, :]).sum(axis=1)          # (Nz_out,)
+    factors = norm[:, None] * sol[None, :] * w[None, :] * slit[zz, :]
+    toa = float(np.sum(sf * sol * w))
+    return factors, toa
+
+
+def reduce_flux(tally_flux: np.ndarray, n_launched: int, abs_coef, mu0: float,
+                date=None):
+    """Physical fluxes from a raw flux tally (Nxf, Nyf, Nlev, 3, Ng).
+
+    Returns dict of (Nxf, Nyf, Nlev) arrays in W/m^2/nm:
+    f_down_direct, f_down_diffuse, f_down, f_up.
+    """
+    nlev = tally_flux.shape[2]
+    factors, toa = spectral_factors(abs_coef, date=date, nz_out=nlev)
+    raw = tally_flux * (mu0 / max(n_launched, 1))               # (..., Nlev, 3, Ng)
+    phys = np.einsum('xyzcg,zg->xyzc', raw, factors)
+    out = {
+        'f_down_direct': phys[..., 0],
+        'f_down_diffuse': phys[..., 1],
+        'f_up': phys[..., 2],
+        'f_down': phys[..., 0] + phys[..., 1],
+        'toa': toa,
+    }
+    return out
+
+
+def reduce_radiance(tally_rad: np.ndarray, n_launched: int, abs_coef,
+                    mu0: float, date=None):
+    """Physical radiance (Nx, Ny) [W/m^2/nm/sr] from a raw radiance tally."""
+    nx, ny, ng = tally_rad.shape
+    factors, toa = spectral_factors(abs_coef, date=date, nz_out=1)
+    raw = tally_rad * (mu0 * nx * ny / max(n_launched, 1))
+    rad = raw @ factors[0]
+    return {'rad': rad, 'toa': toa}
+
+
+def heating_rate(flux: dict, atm):
+    """Shortwave heating rate [K/day] per layer from level net fluxes.
+
+    HR = dF_net/dz / (rho cp); the energy absorbed in a layer divided by its
+    air heat capacity (the reference obtains this from MCARaTS's Flx_mhrt=1
+    target; mca_inp.py:129-152).
+    """
+    f_net = flux['f_down'] - flux['f_up']                       # (..., Nlev)
+    d_fnet = f_net[..., 1:] - f_net[..., :-1]                   # absorbed per layer
+    cp = 1004.0
+    dz_m = atm.lay.thickness * 1000.0
+    rho = atm.lay.pressure * 100.0 / (287.0 * atm.lay.temperature)
+    return d_fnet / (rho * cp * dz_m) * 86400.0

@@ -1,0 +1,233 @@
+"""Scene assembly: preprocessing objects -> device-resident transport structs.
+
+This replaces the reference's file-interchange layer (``mca_atm_1d``,
+``mca_atm_3d``, ``mca_sca``, ``mca_sfc_2d`` writing Fortran namelists and
+binaries, /root/reference/er3t/rtm/mca/mca_atm.py, mca_sca.py, mca_sfc.py)
+with typed pytrees of JAX arrays.
+
+Physical model (matching the solver semantics of MCARaTS as driven by the
+reference):
+
+* a plane-parallel 1D background: Rayleigh scattering ``sig_ray(z)`` with the
+  analytic Rayleigh phase, gas absorption ``kabs(z, g)`` applied continuously
+  along photon paths (the reference's Atm_ext1d/Atm_abs1d split,
+  mca_atm.py:85-102);
+* optional extra 1D constituents (aerosol layers) with scalar ssa/asy
+  (mca_atm.py:105-139);
+* an optional 3D particulate region spanning atmosphere layers
+  [iz3l, iz3l+nz3): per-voxel extinction, single-scattering albedo and
+  phase-table row (cloud + optional 3D aerosol; mca_atm.py:144-300);
+* a 2D surface with per-pixel BRDF type/params (mca_sfc.py:89-133);
+* a collimated solar source.
+
+The per-layer *scattering majorant* ``sig_maj`` drives null-collision
+free-path sampling in the transport kernel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..pre.pha import PhaseTable, build_phase_table
+from ..pre.sfc import Surface, sfc_lambertian
+from ..physics.rayleigh import rayleigh_od
+from ..util.grid import get_lay_index
+
+__all__ = ['SceneArrays', 'SceneStatic', 'build_scene']
+
+
+class SceneArrays(NamedTuple):
+    """Device arrays of a scene (a JAX pytree)."""
+    z_lev: jnp.ndarray        # (Nz+1,) level altitudes [m], surface first
+    sig_ray: jnp.ndarray      # (Nz,) Rayleigh scattering extinction [1/m]
+    kabs: jnp.ndarray         # (Nz, Ng) gas absorption [1/m]
+    sig_maj: jnp.ndarray      # (Nz,) scattering majorant [1/m]
+    sig_aer: jnp.ndarray      # (Nz,) 1D aerosol extinction [1/m]
+    aer_ssa: jnp.ndarray      # () scalar
+    aer_asy: jnp.ndarray      # () scalar
+    ext3d: jnp.ndarray        # (Nx, Ny, Nz3) [1/m] (Nz3 >= 1)
+    ssa3d: jnp.ndarray        # (Nx, Ny, Nz3)
+    apf3d: jnp.ndarray        # (Nx, Ny, Nz3) int32 phase rows
+    pt_mu: jnp.ndarray        # (Npf, Nu) inverse-CDF sampling LUT
+    pt_p: jnp.ndarray         # (Npf, Nm) P(mu) eval LUT
+    jsfc: jnp.ndarray         # (Nxs, Nys) int32 surface type
+    psfc: jnp.ndarray         # (Nxs, Nys, 5) surface params
+    mu0: jnp.ndarray          # () cosine of solar zenith angle
+    phi0: jnp.ndarray         # () solar azimuth [rad] (direction of travel)
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneStatic:
+    """Hashable static configuration accompanying :class:`SceneArrays`."""
+    nz: int
+    ng: int
+    nx: int
+    ny: int
+    nz3: int
+    iz3l: int                 # first atmosphere layer of the 3D region
+    nxs: int
+    nys: int
+    dx: float                 # m
+    dy: float                 # m
+    has_3d: bool
+    has_aer1d: bool
+    ipa: bool = False         # independent-pixel mode (no horizontal transport)
+
+
+def _cloud_to_grids(cld, pha, atm):
+    """Map a Cloud3D onto atmosphere layers; derive ssa/apf per voxel.
+
+    Mirrors mca_atm_3d.pre_mca_3d_atm (mca_atm.py:233-301): nearest-layer
+    mapping of cloud layers into the atmosphere grid; Mie ssa/phase-row by
+    effective radius, HG(0.85) fallback without a phase object.
+    """
+    lay_index = get_lay_index(cld.altitude, atm.lay.altitude)
+    iz3l = int(lay_index[0])
+    nz3 = int(lay_index.size)
+    if np.any(np.diff(lay_index) != 1):
+        raise ValueError('cloud layers must map to contiguous atmosphere layers; '
+                         'choose atmosphere levels that resolve the cloud grid')
+
+    ext = np.asarray(cld.extinction, dtype=np.float32)
+    cloudy = ext > 0.0
+    ssa = np.ones_like(ext, dtype=np.float32)
+    apf = np.zeros(ext.shape, dtype=np.int32)
+
+    if pha is None:
+        # HG g=0.85 (table row 1 of the default table)
+        apf[cloudy] = 1
+    else:
+        ref = np.asarray(pha.data['ref'])
+        ssa_t = np.asarray(pha.data['ssa'])
+        cer = np.asarray(cld.cer)
+        # nearest effective-radius row; rows offset by 1 (row 0 = Rayleigh)
+        idx = np.abs(cer[..., None] - ref[None, None, None, :]).argmin(axis=-1)
+        apf[cloudy] = (idx + 1)[cloudy]
+        ssa[cloudy] = np.interp(cer, ref, ssa_t)[cloudy].astype(np.float32)
+    return iz3l, nz3, ext, ssa, apf
+
+
+def build_scene(atm, abs_coef, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
+                surface=0.03, solar_zenith_angle=30.0, solar_azimuth_angle=0.0,
+                ipa=False):
+    """Assemble a scene for the transport kernel.
+
+    Parameters mirror the reference's ``mcarats_ng`` front door
+    (mcarats.py:62-231): atmosphere + absorption objects, optional cloud and
+    phase set, aerosol lists, surface (scalar albedo or :class:`Surface`),
+    solar geometry.
+    """
+    nz = atm.nz
+    ng = abs_coef.ng
+    dz_m = atm.lay.thickness * 1000.0
+
+    # Rayleigh scattering per layer [1/m] (mca_atm.py:85-88)
+    tau_ray = rayleigh_od(abs_coef.wvl, atm.lev.pressure, lat_deg=atm.lat)
+    sig_ray = (tau_ray / dz_m).astype(np.float32)
+
+    # gas absorption [1/m] (mca_atm.py:90-91)
+    kabs = (abs_coef.abso_coef / dz_m[:, None]).astype(np.float32)
+
+    # 1D aerosol channel (single merged layer set)
+    sig_aer = np.zeros(nz, dtype=np.float32)
+    aer_ssa, aer_asy = 1.0, 0.7
+    if aer_1ds:
+        for a in aer_1ds:
+            sig_aer += a.extinction_profile(atm.lay.altitude, atm.lay.thickness).astype(np.float32)
+        aer_ssa = float(np.mean([a.ssa for a in aer_1ds]))
+        aer_asy = float(np.mean([a.asy for a in aer_1ds]))
+
+    # phase table: default HG(0.85) + aerosol HG rows appended
+    if pha is None:
+        from ..pre.pha import pha_hg
+        asy_rows = [0.85]
+        if aer_1ds or aer_3ds:
+            asy_rows.append(aer_asy)
+        table = build_phase_table(pha_hg(asy_params=tuple(asy_rows)))
+        aer_apf_row = len(asy_rows)  # last row
+    else:
+        table = build_phase_table(pha)
+        if aer_1ds or aer_3ds:
+            from ..pre.pha import pha_hg
+            aer_tab = build_phase_table(pha_hg(asy_params=(aer_asy,)))
+            table = PhaseTable(
+                mu_sample=np.concatenate([table.mu_sample, aer_tab.mu_sample[1:]], axis=0),
+                p_eval=np.concatenate([table.p_eval, aer_tab.p_eval[1:]], axis=0),
+                asy=np.concatenate([table.asy, aer_tab.asy[1:]]),
+                ssa=np.concatenate([table.ssa, aer_tab.ssa[1:]]),
+                reff=np.concatenate([table.reff, aer_tab.reff[1:]]),
+            )
+        aer_apf_row = table.n_pf - 1
+
+    # 3D region
+    if cld is not None:
+        iz3l, nz3, ext3d, ssa3d, apf3d = _cloud_to_grids(cld, pha, atm)
+        nx, ny = cld.nx, cld.ny
+        dx, dy = cld.dx * 1000.0, cld.dy * 1000.0
+        for a in aer_3ds:
+            # exact two-constituent merge: effective ssa and dominant phase
+            ea = np.asarray(a.extinction, dtype=np.float32)
+            tot = ext3d + ea
+            with np.errstate(invalid='ignore', divide='ignore'):
+                ssa_m = np.where(tot > 0, (ext3d * ssa3d + ea * a.ssa) / np.maximum(tot, 1e-30), 1.0)
+            apf3d = np.where(ea * a.ssa > ext3d * ssa3d, aer_apf_row, apf3d).astype(np.int32)
+            ext3d, ssa3d = tot.astype(np.float32), ssa_m.astype(np.float32)
+        has_3d = True
+    else:
+        iz3l, nz3 = 0, 1
+        nx = ny = 1
+        dx = dy = 1000.0
+        ext3d = np.zeros((1, 1, 1), dtype=np.float32)
+        ssa3d = np.ones((1, 1, 1), dtype=np.float32)
+        apf3d = np.zeros((1, 1, 1), dtype=np.int32)
+        has_3d = False
+
+    # scattering majorant per layer
+    sig_maj = sig_ray + sig_aer
+    if has_3d:
+        ext_max = np.max(ext3d, axis=(0, 1))  # (nz3,)
+        sig_maj = sig_maj.copy()
+        sig_maj[iz3l:iz3l + nz3] += ext_max
+    sig_maj = np.maximum(sig_maj, 1e-12).astype(np.float32)
+
+    # surface
+    if isinstance(surface, Surface):
+        sfc = surface
+    else:
+        sfc = sfc_lambertian(float(surface))
+
+    sza = np.deg2rad(solar_zenith_angle)
+    # photon azimuth of travel: the reference's convention converts a
+    # sun-position azimuth (0=N, clockwise) to the direction photons move
+    # (mcarats.py:527-549); we store the travel azimuth directly in radians,
+    # measured from +x (east), counterclockwise.
+    phi_travel = np.deg2rad(270.0 - solar_azimuth_angle)
+
+    arrays = SceneArrays(
+        z_lev=jnp.asarray(atm.lev.altitude * 1000.0, dtype=jnp.float32),
+        sig_ray=jnp.asarray(sig_ray),
+        kabs=jnp.asarray(kabs),
+        sig_maj=jnp.asarray(sig_maj),
+        sig_aer=jnp.asarray(sig_aer),
+        aer_ssa=jnp.asarray(aer_ssa, dtype=jnp.float32),
+        aer_asy=jnp.asarray(aer_asy, dtype=jnp.float32),
+        ext3d=jnp.asarray(ext3d),
+        ssa3d=jnp.asarray(ssa3d),
+        apf3d=jnp.asarray(apf3d),
+        pt_mu=jnp.asarray(table.mu_sample),
+        pt_p=jnp.asarray(table.p_eval),
+        jsfc=jnp.asarray(sfc.jsfc, dtype=jnp.int32),
+        psfc=jnp.asarray(sfc.psfc, dtype=jnp.float32),
+        mu0=jnp.asarray(np.cos(sza), dtype=jnp.float32),
+        phi0=jnp.asarray(phi_travel, dtype=jnp.float32),
+    )
+    static = SceneStatic(
+        nz=nz, ng=ng, nx=nx, ny=ny, nz3=nz3, iz3l=iz3l,
+        nxs=sfc.nx, nys=sfc.ny, dx=float(dx), dy=float(dy),
+        has_3d=has_3d, has_aer1d=bool(aer_1ds), ipa=bool(ipa),
+    )
+    return arrays, static

@@ -1,0 +1,152 @@
+"""High-level solver driver — the ``mcarats_ng`` equivalent.
+
+The reference's front door (/root/reference/er3t/rtm/mca/mcarats.py:62-231)
+builds Nrun x Ng input files and fans processes over CPUs; here a single
+:func:`solve` call builds a device scene, runs Nrun independent transport
+passes (differing only by RNG stream), and reduces tallies to physical units
+with mean/std over runs — the reference's MC-noise protocol
+(mcarats.py:134, mca_out.py:394-397).
+
+Spectral integration is *correlated* by default: each trajectory carries all
+Ng g-point weights (see er3t_tpu.rtm.mc).  ``spectral='independent'``
+reproduces the reference's per-g independent sampling (Ng separate passes
+with photons distributed by g weight, mcarats.py:553-565).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import numpy as np
+
+from . import mc, out
+from .scene import build_scene
+
+__all__ = ['solve', 'Result', 'distribute_photon']
+
+
+def distribute_photon(n_photon, weights, base_ratio=0.05):
+    """Photon split over g-points by k-distribution weight with a floor
+    (reference: mcarats.py:553-565)."""
+    weights = np.asarray(weights, dtype=np.float64)
+    nd = weights.size
+    dist = (n_photon * (1 - base_ratio) * weights).astype(np.int64) \
+        + int(n_photon * base_ratio / nd)
+    diff = int(n_photon - dist.sum())
+    if diff >= 0:
+        dist[np.argmin(weights)] += diff
+    else:
+        dist[np.argmax(weights)] += diff
+    return dist
+
+
+@dataclasses.dataclass
+class Result:
+    """Physical outputs with per-run statistics."""
+    target: str
+    data: dict                  # mean fields
+    std: dict                   # std fields
+    toa: float
+    n_photon: float
+    n_run: int
+
+    def __getitem__(self, k):
+        return self.data[k]
+
+
+def _single_run(scene, static, cfg, n_photon, seed):
+    tal = mc.run_transport(scene, static, cfg, n_photon, seed=seed)
+    return (np.asarray(tal.rad), np.asarray(tal.flux), int(tal.n_launched))
+
+
+def solve(atm=None, abs_coef=None, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
+          surface=0.03, target='radiance', solver='3d',
+          solar_zenith_angle=30.0, solar_azimuth_angle=0.0,
+          sensor_zenith_angle=0.0, sensor_azimuth_angle=0.0,
+          photons=1e6, n_run=3, date=None, seed=0, batch=None,
+          spectral='correlated', flux_per_column=None):
+    """Run a full radiative-transfer simulation.
+
+    Parameters mirror ``mcarats_ng`` (reference mcarats.py:62-231).
+    ``solver``: '3d' | 'ipa' (independent pixel, no horizontal transport).
+    Returns a :class:`Result`.
+    """
+    if atm is None or abs_coef is None:
+        raise ValueError('atm and abs_coef are required')
+    target = {'f': 'flux', 'flux': 'flux', 'irradiance': 'flux',
+              'rad': 'radiance', 'radiance': 'radiance',
+              'hr': 'heating_rate', 'heating rate': 'heating_rate',
+              'heating_rate': 'heating_rate'}[target.lower()]
+    ipa = solver.lower() in ('ipa', '1d')
+
+    scene, static = build_scene(
+        atm, abs_coef, cld=cld, pha=pha, aer_1ds=aer_1ds, aer_3ds=aer_3ds,
+        surface=surface, solar_zenith_angle=solar_zenith_angle,
+        solar_azimuth_angle=solar_azimuth_angle, ipa=ipa)
+
+    if batch is None:
+        batch = 1 << 17 if jax.default_backend() != 'cpu' else 1 << 14
+    if flux_per_column is None:
+        flux_per_column = static.has_3d
+    cfg = mc.SolverConfig(
+        target='radiance' if target == 'radiance' else 'flux',
+        batch=int(batch),
+        sensor_zenith=float(sensor_zenith_angle),
+        sensor_azimuth=float(sensor_azimuth_angle),
+        flux_per_column=bool(flux_per_column),
+    )
+
+    mu0 = float(np.cos(np.deg2rad(solar_zenith_angle)))
+    n_photon = int(photons)
+
+    per_run = []
+    for r in range(n_run):
+        if spectral == 'correlated':
+            rad_t, flux_t, n_l = _single_run(scene, static, cfg, n_photon, seed + 1000 * r)
+            if target == 'radiance':
+                red = out.reduce_radiance(rad_t, n_l, abs_coef, mu0, date=date)
+            else:
+                red = out.reduce_flux(flux_t, n_l, abs_coef, mu0, date=date)
+        elif spectral == 'independent':
+            red = _independent_g_run(scene, static, cfg, atm, abs_coef, target,
+                                     n_photon, mu0, date, seed + 1000 * r)
+        else:
+            raise ValueError(spectral)
+        per_run.append(red)
+
+    keys = [k for k in per_run[0] if k != 'toa']
+    data = {k: np.mean([p[k] for p in per_run], axis=0) for k in keys}
+    std = {k + '_std': np.std([p[k] for p in per_run], axis=0) for k in keys}
+    toa = per_run[0]['toa']
+
+    if target == 'heating_rate':
+        data['hr'] = out.heating_rate(data, atm)
+
+    return Result(target=target, data=data, std=std, toa=toa,
+                  n_photon=photons, n_run=n_run)
+
+
+def _independent_g_run(scene, static, cfg, atm, abs_coef, target,
+                       n_photon, mu0, date, seed):
+    """Reference-protocol spectral sampling: one pass per g-point with the
+    photon budget distributed by g weight."""
+    import dataclasses as _dc
+    ng = abs_coef.ng
+    dist = distribute_photon(n_photon, abs_coef.weight)
+    acc_rad = None
+    acc_flux = None
+    for g in range(ng):
+        scene_g = scene._replace(kabs=scene.kabs[:, g:g + 1])
+        static_g = _dc.replace(static, ng=1)
+        rad_t, flux_t, n_l = _single_run(scene_g, static_g, cfg, int(dist[g]), seed + g)
+        # scale per-g tallies to the common budget normalization
+        wsc = 1.0 / max(n_l, 1)
+        if acc_rad is None:
+            acc_rad = np.zeros(rad_t.shape[:2] + (ng,), np.float64)
+            acc_flux = np.zeros(flux_t.shape[:4] + (ng,), np.float64)
+        acc_rad[..., g] = rad_t[..., 0] * wsc
+        acc_flux[..., g] = flux_t[..., 0] * wsc
+    if target == 'radiance':
+        return out.reduce_radiance(acc_rad, 1, abs_coef, mu0, date=date)
+    return out.reduce_flux(acc_flux, 1, abs_coef, mu0, date=date)
