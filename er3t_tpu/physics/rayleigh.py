@@ -87,10 +87,13 @@ def sample_rayleigh_mu(u):
     the uniform deviate u in [0,1), mu = q^(1/3) - q^(-1/3) for
     q = 2(2u-1) + sqrt(4(2u-1)^2 + 1).
 
-    Works under jax.numpy as well as numpy (pure elementwise ops).
+    Works under numpy or jax.numpy (dispatches on the input type).
     """
-    import jax.numpy as jnp
+    if isinstance(u, np.ndarray) or np.isscalar(u):
+        xp = np
+    else:
+        import jax.numpy as xp
     v = 2.0 * u - 1.0
-    q = 2.0 * v + jnp.sqrt(4.0 * v * v + 1.0)
-    qc = jnp.cbrt(q)
+    q = 2.0 * v + xp.sqrt(4.0 * v * v + 1.0)
+    qc = xp.cbrt(q)
     return qc - 1.0 / qc

@@ -43,12 +43,17 @@ class PhaseTable:
     asy : (Npf,) asymmetry parameters
     ssa : (Npf,) single-scattering albedos of the generating entries
     reff : (Npf,) effective radii [um] (0 where not applicable)
+    trunc_f : (Npf,) delta-truncated forward-peak fraction (0 = exact);
+        the scene builder rescales extinction/ssa accordingly
+        (similarity relations: ext' = ext (1 - ssa f),
+        ssa' = ssa (1-f)/(1 - ssa f))
     """
     mu_sample: np.ndarray
     p_eval: np.ndarray
     asy: np.ndarray
     ssa: np.ndarray
     reff: np.ndarray
+    trunc_f: np.ndarray | None = None
 
     @property
     def n_pf(self) -> int:
@@ -134,18 +139,28 @@ class pha_mie_wc:
         }
 
 
-def build_phase_table(pha_obj=None, n_u: int = 2048, n_m: int = 1801) -> PhaseTable:
+def build_phase_table(pha_obj=None, n_u: int = 8192, n_m: int = 4096,
+                      forward_trunc_deg: float | None = None) -> PhaseTable:
     """Compile a phase object into the kernel's :class:`PhaseTable`.
 
     With ``pha_obj=None`` returns a table whose single tabulated entry is
     HG(g=0.85) — the reference's fallback when no phase set is supplied
     (er3t/rtm/mca/mca_atm.py:260-262).
+
+    ``forward_trunc_deg`` enables delta-truncation: scattering within that
+    angle of forward is treated as unscattered.  The returned ``trunc_f``
+    fractions let the scene builder apply the similarity scaling; the
+    sampling/evaluation LUTs are renormalized over the truncated range.
+    This is the counterpart of MCARaTS's phase-function truncation
+    (Sca_nchi/qtfmax, mca_inp.py:52-54) — essential for efficient transport
+    and low-variance local estimation through strongly forward-peaked Mie
+    phase functions.
     """
     if pha_obj is None:
         pha_obj = pha_hg(asy_params=(0.85,))
 
-    ang = pha_obj.data['ang']
-    pha = pha_obj.data['pha']
+    ang = np.asarray(pha_obj.data['ang'], dtype=np.float64)
+    pha = np.asarray(pha_obj.data['pha'], dtype=np.float64)
     asy = np.atleast_1d(pha_obj.data['asy'])
     ssa = np.atleast_1d(pha_obj.data.get('ssa', np.ones_like(asy)))
     ref = np.atleast_1d(pha_obj.data.get('ref', np.zeros_like(asy)))
@@ -153,6 +168,7 @@ def build_phase_table(pha_obj=None, n_u: int = 2048, n_m: int = 1801) -> PhaseTa
 
     mu_sample = np.zeros((n_pf + 1, n_u), dtype=np.float32)
     p_eval = np.zeros((n_pf + 1, n_m), dtype=np.float32)
+    trunc_f = np.zeros(n_pf + 1, dtype=np.float32)
 
     # slot 0: Rayleigh placeholder (kernel samples Rayleigh analytically but
     # may still evaluate it from the table for uniformity)
@@ -163,8 +179,22 @@ def build_phase_table(pha_obj=None, n_u: int = 2048, n_m: int = 1801) -> PhaseTa
     mu_sample[0] = np.asarray(sample_rayleigh_mu(np.clip(u, 1e-7, 1 - 1e-7)))
 
     for i in range(n_pf):
-        mu_sample[i + 1] = _invert_cdf(ang, pha[:, i], n_u)
-        p_eval[i + 1] = _eval_grid(ang, pha[:, i], n_m)
+        ang_i, pha_i = ang, pha[:, i]
+        if forward_trunc_deg is not None and forward_trunc_deg > 0:
+            mu = np.cos(np.deg2rad(ang_i))
+            order = np.argsort(mu)
+            mu_s, p_s = mu[order], pha_i[order]
+            mu_t = np.cos(np.deg2rad(forward_trunc_deg))
+            # energy fraction scattered within the forward cone
+            peak = mu_s >= mu_t
+            f = np.trapezoid(np.where(peak, p_s, 0.0), mu_s) / 2.0
+            trunc_f[i + 1] = f
+            # remove the peak, renormalize over the remaining range
+            p_cut = np.where(peak, 0.0, p_s) / max(1.0 - f, 1e-6)
+            ang_i = np.rad2deg(np.arccos(np.clip(mu_s[::-1], -1, 1)))
+            pha_i = p_cut[::-1]
+        mu_sample[i + 1] = _invert_cdf(ang_i, pha_i, n_u)
+        p_eval[i + 1] = _eval_grid(ang_i, pha_i, n_m)
 
     return PhaseTable(
         mu_sample=mu_sample,
@@ -172,4 +202,5 @@ def build_phase_table(pha_obj=None, n_u: int = 2048, n_m: int = 1801) -> PhaseTa
         asy=np.concatenate([[0.0], asy]).astype(np.float32),
         ssa=np.concatenate([[1.0], ssa]).astype(np.float32),
         reff=np.concatenate([[0.0], ref]).astype(np.float32),
+        trunc_f=trunc_f,
     )

@@ -67,6 +67,7 @@ class Tallies(NamedTuple):
     rad: jnp.ndarray        # (Nxr, Nyr, Ng)
     flux: jnp.ndarray       # (Nxf, Nyf, Nz+1, 3, Ng): down-dir, down-dif, up
     n_launched: jnp.ndarray  # () int32
+    n_steps: jnp.ndarray = jnp.zeros((), jnp.int32)  # while-loop iterations
 
 
 class _State(NamedTuple):
@@ -447,7 +448,7 @@ def transport(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
     out = jax.lax.while_loop(cond, body, state0)
     return Tallies(rad=out.rad.reshape(nxr, nyr, ng),
                    flux=out.flux.reshape(nxf, nyf, nlev, 3, ng),
-                   n_launched=out.launched)
+                   n_launched=out.launched, n_steps=out.step)
 
 
 def run_transport(scene, static, cfg, n_photon, seed=0):

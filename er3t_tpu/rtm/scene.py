@@ -104,16 +104,18 @@ def _cloud_to_grids(cld, pha, atm):
         ref = np.asarray(pha.data['ref'])
         ssa_t = np.asarray(pha.data['ssa'])
         cer = np.asarray(cld.cer)
-        # nearest effective-radius row; rows offset by 1 (row 0 = Rayleigh)
-        idx = np.abs(cer[..., None] - ref[None, None, None, :]).argmin(axis=-1)
+        # nearest effective-radius row via searchsorted (rows offset by 1:
+        # row 0 = Rayleigh)
+        mid = 0.5 * (ref[1:] + ref[:-1])
+        idx = np.searchsorted(mid, cer).astype(np.int32)
         apf[cloudy] = (idx + 1)[cloudy]
-        ssa[cloudy] = np.interp(cer, ref, ssa_t)[cloudy].astype(np.float32)
+        ssa[cloudy] = np.interp(cer[cloudy], ref, ssa_t).astype(np.float32)
     return iz3l, nz3, ext, ssa, apf
 
 
 def build_scene(atm, abs_coef, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
                 surface=0.03, solar_zenith_angle=30.0, solar_azimuth_angle=0.0,
-                ipa=False):
+                ipa=False, forward_trunc_deg=None):
     """Assemble a scene for the transport kernel.
 
     Parameters mirror the reference's ``mcarats_ng`` front door
@@ -147,10 +149,11 @@ def build_scene(atm, abs_coef, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
         asy_rows = [0.85]
         if aer_1ds or aer_3ds:
             asy_rows.append(aer_asy)
-        table = build_phase_table(pha_hg(asy_params=tuple(asy_rows)))
+        table = build_phase_table(pha_hg(asy_params=tuple(asy_rows)),
+                                  forward_trunc_deg=forward_trunc_deg)
         aer_apf_row = len(asy_rows)  # last row
     else:
-        table = build_phase_table(pha)
+        table = build_phase_table(pha, forward_trunc_deg=forward_trunc_deg)
         if aer_1ds or aer_3ds:
             from ..pre.pha import pha_hg
             aer_tab = build_phase_table(pha_hg(asy_params=(aer_asy,)))
@@ -168,6 +171,13 @@ def build_scene(atm, abs_coef, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
         iz3l, nz3, ext3d, ssa3d, apf3d = _cloud_to_grids(cld, pha, atm)
         nx, ny = cld.nx, cld.ny
         dx, dy = cld.dx * 1000.0, cld.dy * 1000.0
+        if table.trunc_f is not None and np.any(table.trunc_f > 0):
+            # delta-truncation similarity scaling (peak energy continues
+            # unscattered): ext' = ext(1 - ssa f), ssa' = ssa(1-f)/(1-ssa f)
+            f_vox = table.trunc_f[apf3d]
+            sf = 1.0 - ssa3d * f_vox
+            ssa3d = (ssa3d * (1.0 - f_vox) / np.maximum(sf, 1e-9)).astype(np.float32)
+            ext3d = (ext3d * sf).astype(np.float32)
         for a in aer_3ds:
             # exact two-constituent merge: effective ssa and dominant phase
             ea = np.asarray(a.extinction, dtype=np.float32)

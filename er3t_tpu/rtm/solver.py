@@ -55,9 +55,30 @@ class Result:
         return self.data[k]
 
 
-def _single_run(scene, static, cfg, n_photon, seed):
-    tal = mc.run_transport(scene, static, cfg, n_photon, seed=seed)
-    return (np.asarray(tal.rad), np.asarray(tal.flux), int(tal.n_launched))
+def _single_run(scene, static, cfg, n_photon, seed, chunk=4_000_000):
+    """One independent MC pass, split into bounded device calls.
+
+    Chunking keeps each jitted while-loop execution short (tens of seconds),
+    which matters on tunneled single-chip attachments with RPC deadlines and
+    gives natural progress granularity; chunks differ only by RNG stream.
+    The radiance hot path uses the flight kernel (er3t_tpu.rtm.mc_flight),
+    flux targets the event-marching kernel.
+    """
+    from .mc_flight import run_transport_flight
+    runner = run_transport_flight if cfg.target == 'radiance' else mc.run_transport
+    rad = flux = None
+    n_total = 0
+    remaining = int(n_photon)
+    i = 0
+    while remaining > 0:
+        n_c = min(remaining, chunk)
+        tal = runner(scene, static, cfg, n_c, seed=seed + 7919 * i)
+        rad = np.asarray(tal.rad) if rad is None else rad + np.asarray(tal.rad)
+        flux = np.asarray(tal.flux) if flux is None else flux + np.asarray(tal.flux)
+        n_total += int(tal.n_launched)
+        remaining -= n_c
+        i += 1
+    return rad, flux, n_total
 
 
 def solve(atm=None, abs_coef=None, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
@@ -65,7 +86,8 @@ def solve(atm=None, abs_coef=None, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
           solar_zenith_angle=30.0, solar_azimuth_angle=0.0,
           sensor_zenith_angle=0.0, sensor_azimuth_angle=0.0,
           photons=1e6, n_run=3, date=None, seed=0, batch=None,
-          spectral='correlated', flux_per_column=None):
+          spectral='correlated', flux_per_column=None, chunk=4_000_000,
+          forward_trunc_deg=None):
     """Run a full radiative-transfer simulation.
 
     Parameters mirror ``mcarats_ng`` (reference mcarats.py:62-231).
@@ -83,7 +105,8 @@ def solve(atm=None, abs_coef=None, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
     scene, static = build_scene(
         atm, abs_coef, cld=cld, pha=pha, aer_1ds=aer_1ds, aer_3ds=aer_3ds,
         surface=surface, solar_zenith_angle=solar_zenith_angle,
-        solar_azimuth_angle=solar_azimuth_angle, ipa=ipa)
+        solar_azimuth_angle=solar_azimuth_angle, ipa=ipa,
+        forward_trunc_deg=forward_trunc_deg)
 
     if batch is None:
         batch = 1 << 17 if jax.default_backend() != 'cpu' else 1 << 14
@@ -103,7 +126,8 @@ def solve(atm=None, abs_coef=None, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
     per_run = []
     for r in range(n_run):
         if spectral == 'correlated':
-            rad_t, flux_t, n_l = _single_run(scene, static, cfg, n_photon, seed + 1000 * r)
+            rad_t, flux_t, n_l = _single_run(scene, static, cfg, n_photon,
+                                             seed + 1000003 * r, chunk=chunk)
             if target == 'radiance':
                 red = out.reduce_radiance(rad_t, n_l, abs_coef, mu0, date=date)
             else:
