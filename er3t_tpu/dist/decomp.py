@@ -1,0 +1,133 @@
+"""Domain-decomposed transport: x-slab sharded scene + photon migration.
+
+The reference replicates the full 3D field into every solver process
+(shared mca_atm_3d.bin; SURVEY §5.7 notes decomposition has no counterpart
+there).  Here the voxel grid is split into x-slabs across the mesh's 'x'
+axis; each device transports photons only while they are inside its slab.
+Flights clamp at slab faces (er3t_tpu.rtm.mc_flight), the lane freezes, and
+a migration exchange moves it to the neighbor over ICI.
+
+Migration is a *bijective window swap*: each device stably partitions its
+photon lanes so that outgoing lanes (then dead padding) occupy a fixed
+window, and the window is exchanged wholesale with the neighbor via
+``lax.ppermute``.  Because the swap is a permutation of lanes across the
+ring, no photon can ever be lost or duplicated regardless of load imbalance;
+lanes that could not be placed simply retry next round (backpressure).
+
+Per superstep: K inner transport iterations, then a right-swap and a
+left-swap.  Tallies stay slab-local (nadir sensor ⇒ image pixels partition
+with the slabs) and concatenate on exit; only `launched` crosses devices.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ..rtm.mc import SolverConfig, Tallies
+from ..rtm.mc_flight import FlightCarry, SlabSpec, make_flight_kernel
+
+__all__ = ['transport_decomp']
+
+_F = jnp.float32
+
+
+def _pack(c: FlightCarry) -> jnp.ndarray:
+    """Lane state -> (B, F) float matrix (ints fit exactly in f32)."""
+    cols = [c.x, c.y, c.z, c.ux, c.uy, c.uz, c.wsc, c.tau,
+            c.nscat.astype(_F), c.ix0.astype(_F), c.iy0.astype(_F),
+            c.alive.astype(_F)]
+    return jnp.concatenate([jnp.stack(cols, axis=1), c.labs], axis=1)
+
+
+def _unpack(m: jnp.ndarray, c: FlightCarry) -> FlightCarry:
+    return c._replace(
+        x=m[:, 0], y=m[:, 1], z=m[:, 2], ux=m[:, 3], uy=m[:, 4], uz=m[:, 5],
+        wsc=m[:, 6], tau=m[:, 7], nscat=m[:, 8].astype(jnp.int32),
+        ix0=m[:, 9].astype(jnp.int32), iy0=m[:, 10].astype(jnp.int32),
+        alive=m[:, 11] > 0.5, labs=m[:, 12:])
+
+
+def transport_decomp(scene, st, cfg: SolverConfig, n_photon: int, mesh,
+                     seed: int = 0, k_super: int = 64, window: int | None = None,
+                     max_rounds: int | None = None) -> Tallies:
+    """Run radiance transport with the scene x-decomposed over mesh axis 'x'.
+
+    ``scene``/``st`` describe the *global* scene; arrays are sharded here.
+    Requires a nadir-ish sensor (slab-local local-estimation paths).
+    Returns global tallies (image gathered across slabs).
+    """
+    n_dev = mesh.shape['x']
+    if st.nx % n_dev:
+        raise ValueError('nx must divide the decomposition axis')
+    nx_loc = st.nx // n_dev
+    st_loc = dataclasses.replace(st, nx=nx_loc)
+    slab = SlabSpec(nx_global=st.nx, nx_local=nx_loc)
+    B = cfg.batch
+    M = window or max(B // 4, 1)
+    n_per = int(n_photon) // n_dev
+    if max_rounds is None:
+        max_rounds = int(np.ceil(n_per / B + 1) * max(1600 // k_super, 8)) + 32
+
+    ring_r = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    ring_l = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+
+    # shard 3D fields along x, replicate the rest
+    specs3d = {'ext3d', 'ssa3d', 'apf3d'}
+    sfc_sharded = st.nxs == st.nx  # per-column surface maps follow the slabs
+    in_specs = type(scene)(*[
+        P('x') if (f in specs3d or (sfc_sharded and f in ('jsfc', 'psfc')))
+        else P()
+        for f in scene._fields])
+    st_loc = dataclasses.replace(st_loc, nxs=(st.nxs // n_dev if sfc_sharded else st.nxs))
+
+    n_b = mesh.shape.get('b', 1)
+    n_per = n_per // n_b
+
+    def worker(scene_loc):
+        me = jax.lax.axis_index('x')
+        bi = jax.lax.axis_index('b') if n_b > 1 else 0
+        x_off = (me * nx_loc * st.dx).astype(_F)
+        key = jax.random.fold_in(jax.random.key(seed), me * 4096 + bi)
+        body, _, carry0 = make_flight_kernel(
+            scene_loc, st_loc, cfg, n_per, key, slab=slab, x_off=x_off)
+        lx_loc = nx_loc * st.dx
+
+        def migrate_dir(c: FlightCarry, ring, target_fn):
+            t_slab = jnp.floor(c.x / lx_loc).astype(jnp.int32) % n_dev
+            emig = c.alive & (t_slab == target_fn(me))
+            k = jnp.where(emig, 0, jnp.where(~c.alive, 1, 2)).astype(jnp.int32)
+            perm = jnp.argsort(k, stable=True)
+            m = _pack(c)[perm]
+            win = jax.lax.ppermute(m[:M], axis_name='x', perm=ring)
+            m = m.at[:M].set(win)
+            return _unpack(m, c)
+
+        def superstep(state):
+            c, r = state
+            c = jax.lax.fori_loop(0, k_super, lambda i, cc: body(cc), c)
+            c = migrate_dir(c, ring_r, lambda me: (me + 1) % n_dev)
+            c = migrate_dir(c, ring_l, lambda me: (me - 1) % n_dev)
+            return (c, r + 1)
+
+        def cond(state):
+            c, r = state
+            more = jnp.any(c.alive) | (c.launched < n_per)
+            more = jax.lax.psum(jax.lax.psum(more.astype(jnp.int32), 'x'), 'b') > 0
+            return more & (r < max_rounds)
+
+        c, rounds = jax.lax.while_loop(cond, superstep, (carry0, jnp.zeros((), jnp.int32)))
+        launched = jax.lax.psum(jax.lax.psum(c.launched, 'x'), 'b')
+        steps = jax.lax.psum(jax.lax.psum(c.step, 'x'), 'b')
+        rad = jax.lax.psum(c.rad, 'b').reshape(nx_loc, st.ny, st.ng)
+        flux = jnp.zeros((1, 1, st.nz + 1, 3, st.ng), _F)
+        return Tallies(rad=rad, flux=flux, n_launched=launched, n_steps=steps)
+
+    out_specs = Tallies(rad=P('x'), flux=P(), n_launched=P(), n_steps=P())
+    fn = jax.jit(jax.shard_map(worker, mesh=mesh, in_specs=(in_specs,),
+                               out_specs=out_specs, check_vma=False))
+    return fn(scene)

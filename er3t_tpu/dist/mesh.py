@@ -1,0 +1,49 @@
+"""Device-mesh construction for multi-chip runs.
+
+The reference's only scaling mechanism is process fan-out over CPUs / MPI
+ranks (er3t/rtm/mca/mca_run.py:101-181).  The TPU framework scales over a
+``jax.sharding.Mesh`` with two axes:
+
+* ``'x'``  — spatial domain decomposition: the 3D optical-property grid is
+  split into x-slabs, photons migrate between neighbor devices (ICI);
+* ``'b'``  — photon parallelism: independent photon streams over replicated
+  scenes, tallies psum-reduced.
+
+Multi-host: initialize with ``jax.distributed.initialize()`` before building
+the mesh; the same code then spans hosts (slabs ride ICI, the final tally
+reduction crosses DCN once).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+
+__all__ = ['make_mesh', 'init_distributed']
+
+
+def init_distributed(**kwargs):
+    """Multi-host initialization (no-op if already initialized)."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        pass
+
+
+def make_mesh(n_devices: int | None = None, decomp: int | None = None):
+    """Build a ('x', 'b') mesh over the first ``n_devices`` devices.
+
+    ``decomp`` fixes the size of the domain-decomposition axis; by default
+    the mesh is 1D over 'x' (pure domain decomposition) when the device
+    count is small, else a balanced 2D split.
+    """
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    devs = devs[:n]
+    if decomp is None:
+        decomp = n
+    if n % decomp:
+        raise ValueError(f'{n} devices not divisible into decomp={decomp}')
+    arr = np.array(devs).reshape(decomp, n // decomp)
+    return jax.sharding.Mesh(arr, ('x', 'b'))

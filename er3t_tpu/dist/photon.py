@@ -1,0 +1,56 @@
+"""Photon-parallel transport: replicated scene, sharded photon streams.
+
+The direct TPU counterpart of the reference's embarrassingly-parallel run
+fan-out (Nrun x Ng MCARaTS processes over CPUs, mcarats.py:192-196 +
+mca_run.py:144-159): every device transports an independent photon stream
+through a replicated scene; tallies are reduced with a single ``psum`` over
+the mesh (replacing the reference's file-based reduction,
+mca_out.py:344-366).  Scaling is near-perfect because the only communication
+is the final reduction.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..rtm.mc import SolverConfig, Tallies
+from ..rtm.mc_flight import transport_flight
+
+__all__ = ['transport_photon_parallel']
+
+
+def transport_photon_parallel(scene, st, cfg: SolverConfig, n_photon: int,
+                              mesh, seed: int = 0, axes=('x', 'b')):
+    """Run the flight kernel data-parallel over every device of ``mesh``.
+
+    Returns globally-reduced tallies (same structure as a single-device run).
+    """
+    n_dev = mesh.size
+    n_per = int(n_photon) // n_dev
+    axis_names = tuple(axes)
+
+    seeds = jnp.arange(n_dev, dtype=jnp.uint32).reshape(
+        [mesh.shape[a] for a in axis_names])
+
+    @jax.jit
+    def launch(scene, seeds):
+        def worker(scene, seed_me):
+            key = jax.random.fold_in(jax.random.key(seed), seed_me.reshape(())[()])
+            tal = transport_flight(scene, st, cfg, n_per, key)
+            rad, n, n_s = tal.rad, tal.n_launched, tal.n_steps
+            for a in axis_names:
+                rad = jax.lax.psum(rad, a)
+                n = jax.lax.psum(n, a)
+                n_s = jax.lax.psum(n_s, a)
+            return Tallies(rad=rad, flux=tal.flux, n_launched=n, n_steps=n_s)
+
+        return jax.shard_map(
+            worker, mesh=mesh,
+            in_specs=(P(), P(*axis_names)),
+            out_specs=Tallies(rad=P(), flux=P(), n_launched=P(), n_steps=P()),
+            check_vma=False,
+        )(scene, seeds)
+
+    return launch(scene, seeds)

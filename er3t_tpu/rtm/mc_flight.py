@@ -5,7 +5,7 @@ TPU performance notes driving this design (measured on v5e):
 * Random gathers cost ~6 ns/row regardless of row width — the dominant cost
   of any MC kernel on TPU.  This kernel performs ~3 gathers per iteration:
   one packed voxel fetch (ext, ssa, phase-row, column-cum-ext in one row),
-  and two phase-LUT fetches at scattering events.
+  and two nearest-bin phase-LUT fetches at scattering events.
 * Layer-indexed 1D lookups are eliminated: free paths through the layered
   majorant are inverted analytically with (B, Nz) *elementwise* cumulative
   sums (a whole multi-layer flight per iteration, vs one layer/event per
@@ -19,11 +19,22 @@ TPU performance notes driving this design (measured on v5e):
   tallies in radiance mode, which is what makes the flight formulation
   efficient.
 
-The event-marching kernel in er3t_tpu.rtm.mc remains the flux path (fluxes
-need per-crossing tallies) and the bitwise-reproducible reference.
+The kernel body is built by :func:`make_flight_kernel` so the same physics
+drives two execution shapes:
+
+* single chip: ``lax.while_loop`` until the photon budget drains
+  (:func:`transport_flight`);
+* multi-chip domain decomposition: fixed-K supersteps under ``shard_map``
+  with an x-slab restriction — photons leaving the local slab freeze and are
+  migrated by the driver in :mod:`er3t_tpu.dist.decomp`.
+
+The event-marching kernel in er3t_tpu.rtm.mc remains the flux path.
 """
 
 from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -32,47 +43,84 @@ import numpy as np
 from .mc import SolverConfig, Tallies, _sensor_dir
 from .scene import SceneArrays, SceneStatic
 
-__all__ = ['transport_flight', 'run_transport_flight']
+__all__ = ['transport_flight', 'run_transport_flight', 'make_flight_kernel',
+           'FlightCarry', 'SlabSpec']
 
 _F = jnp.float32
 
 
-def transport_flight(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
-                     n_photon: int, key: jax.Array) -> Tallies:
+@dataclasses.dataclass(frozen=True)
+class SlabSpec:
+    """Static description of an x-slab decomposition (None = whole domain)."""
+    nx_global: int          # total columns across all devices
+    nx_local: int           # columns owned by this device (== st.nx shard)
+
+
+class FlightCarry(NamedTuple):
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+    ux: jnp.ndarray
+    uy: jnp.ndarray
+    uz: jnp.ndarray
+    wsc: jnp.ndarray
+    labs: jnp.ndarray       # (B, Ng+1): per-g log-transmission + best case
+    tau: jnp.ndarray
+    nscat: jnp.ndarray
+    alive: jnp.ndarray
+    ix0: jnp.ndarray
+    iy0: jnp.ndarray
+    launched: jnp.ndarray   # () int32
+    step: jnp.ndarray       # () int32
+    rad: jnp.ndarray        # (Nxr*Nyr, Ng)
+
+
+def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
+                       n_photon: int, key: jax.Array,
+                       slab: SlabSpec | None = None, x_off=None):
+    """Build (body, cond, carry0) for the flight transport loop.
+
+    With ``slab``: ``scene`` holds this device's x-shard; ``x_off`` is the
+    traced global x-origin [m] of the shard; photons spawn inside the slab,
+    coordinates stay global, and lanes that leave the slab freeze (the
+    migration driver moves them between devices).
+    """
     assert cfg.target == 'radiance'
     B = cfg.batch
     nz, ng = st.nz, st.ng
+    nx_loc = st.nx
     nxr, nyr = st.nx, st.ny
-    lx, ly = st.nx * st.dx, st.ny * st.dy
+    if slab is None:
+        nx_glob = st.nx
+        x_off = jnp.zeros((), _F)
+    else:
+        nx_glob = slab.nx_global
+    lx_loc = nx_loc * st.dx
+    lx_glob = nx_glob * st.dx
+    ly = st.ny * st.dy
 
-    z_lev = scene.z_lev                         # (Nz+1,)
+    z_lev = scene.z_lev
     dz_lay = z_lev[1:] - z_lev[:-1]
-    sig_1d = scene.sig_ray + scene.sig_aer      # (Nz,)
+    sig_1d = scene.sig_ray + scene.sig_aer
     sig_maj = scene.sig_maj
     kabs_min = jnp.min(scene.kabs, axis=1)
 
     sx, sy, mu_s = _sensor_dir(cfg)
-    nadir = abs(cfg.sensor_zenith) < 1e-3
 
-    # ---- packed voxel table: [ext, ssa, apf, cum_ext_above_voxel_top] ----
+    # packed voxel table: [ext, ssa, apf, cum_ext_above_voxel_top]
     dz3 = dz_lay[st.iz3l:st.iz3l + st.nz3]
     cum3d_top = jnp.concatenate(
         [jnp.cumsum((scene.ext3d * dz3[None, None, :])[..., ::-1], axis=-1)[..., ::-1][..., 1:],
-         jnp.zeros((st.nx, st.ny, 1), _F)], axis=-1)      # above each voxel's top
+         jnp.zeros((nx_loc, st.ny, 1), _F)], axis=-1)
     vox = jnp.stack([scene.ext3d, scene.ssa3d,
-                     scene.apf3d.astype(_F), cum3d_top], axis=-1)
-    vox = vox.reshape(-1, 4)                               # (Nvox, 4)
+                     scene.apf3d.astype(_F), cum3d_top], axis=-1).reshape(-1, 4)
 
-    # ---- absorption/sensor matmul operator ----
-    # input (B, 2 Nz): [trav (path per layer), above (vertical path above event)]
-    # operator (2 Nz, 2 (Ng+1)): block diag of [kabs | kabs_min] twice
-    kext = jnp.concatenate([scene.kabs, kabs_min[:, None]], axis=1)  # (Nz, Ng+1)
+    # absorption + sensor-attenuation matmul operator (see module docstring)
+    kext = jnp.concatenate([scene.kabs, kabs_min[:, None]], axis=1)
     sens_cols = jnp.concatenate([scene.kabs, sig_1d[:, None]], axis=1)
-    zero = jnp.zeros_like(kext)
     kop = jnp.concatenate(
-        [jnp.concatenate([kext, zero], axis=1),
-         jnp.concatenate([jnp.zeros_like(sens_cols), sens_cols], axis=1)], axis=0)
-    # columns: [0:Ng] labs-per-g, [Ng] labs-min, [Ng+1:2Ng+1] sensor abs, [2Ng+1] sensor sig
+        [jnp.concatenate([kext, jnp.zeros_like(sens_cols)], axis=1),
+         jnp.concatenate([jnp.zeros_like(kext), sens_cols], axis=1)], axis=0)
 
     n_u = scene.pt_mu.shape[1]
     n_m = scene.pt_p.shape[1]
@@ -89,21 +137,16 @@ def transport_flight(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
     uniform_sfc = (st.nxs == 1 and st.nys == 1)
     psfc_flat = scene.psfc.reshape(-1, 5)
 
-    if cfg.max_events:
-        max_steps = cfg.max_events
-    else:
-        max_steps = int(np.ceil(n_photon / B + 1) * 400)
+    def local_ix(x):
+        return jnp.clip(jnp.floor((x - x_off) / st.dx).astype(jnp.int32),
+                        0, nx_loc - 1)
 
     def col_index(x, y, ix0, iy0):
         if st.ipa:
             return ix0, iy0
-        ix = jnp.floor(x / st.dx).astype(jnp.int32) % st.nx
-        iy = jnp.floor(y / st.dy).astype(jnp.int32) % st.ny
-        return ix, iy
+        return local_ix(x), jnp.floor(y / st.dy).astype(jnp.int32) % st.ny
 
     def phase_eval(apf, mu):
-        # nearest-bin lookup: one gather (gathers dominate TPU kernel cost;
-        # the n_m-point grid keeps the quantization error ~1e-3)
         i0 = jnp.clip((((mu + 1.0) * 0.5 * (n_m - 1)) + 0.5).astype(jnp.int32),
                       0, n_m - 1)
         p_tab = jnp.take(pt_p_flat, apf * n_m + i0)
@@ -127,54 +170,58 @@ def transport_flight(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         norm = jax.lax.rsqrt(ux_n ** 2 + uy_n ** 2 + uz_n ** 2)
         return ux_n * norm, uy_n * norm, uz_n * norm
 
-    def body(carry):
-        (x, y, z, ux, uy, uz, wsc, labs, tau, nscat, alive,
-         ix0, iy0, launched, step, rad) = carry
-        k_iter = jax.random.fold_in(key, step)
+    def body(c: FlightCarry) -> FlightCarry:
+        k_iter = jax.random.fold_in(key, c.step)
         u = jax.random.uniform(k_iter, (B, 8), dtype=_F,
                                minval=1e-7, maxval=1.0 - 1e-7)
 
-        # ---------------- respawn ----------------
-        dead = ~alive
-        quota = n_photon - launched
+        # ---------------- respawn (into the local slab) ----------------
+        dead = ~c.alive
+        quota = n_photon - c.launched
         order = jnp.cumsum(dead.astype(jnp.int32))
         spawn = dead & (order <= quota)
-        launched = launched + jnp.sum(spawn.astype(jnp.int32))
-        x = jnp.where(spawn, u[:, 0] * lx, x)
-        y = jnp.where(spawn, u[:, 1] * ly, y)
-        z = jnp.where(spawn, z_top, z)
-        ux = jnp.where(spawn, u0x, ux)
-        uy = jnp.where(spawn, u0y, uy)
-        uz = jnp.where(spawn, u0z, uz)
-        wsc = jnp.where(spawn, 1.0, wsc)
-        labs = jnp.where(spawn[:, None], 0.0, labs)
-        tau = jnp.where(spawn, -jnp.log(u[:, 2]), tau)
-        nscat = jnp.where(spawn, 0, nscat)
-        alive = alive | spawn
-        ix0 = jnp.where(spawn, jnp.floor(x / st.dx).astype(jnp.int32) % st.nx, ix0)
-        iy0 = jnp.where(spawn, jnp.floor(y / st.dy).astype(jnp.int32) % st.ny, iy0)
+        launched = c.launched + jnp.sum(spawn.astype(jnp.int32))
+        x = jnp.where(spawn, x_off + u[:, 0] * lx_loc, c.x)
+        y = jnp.where(spawn, u[:, 1] * ly, c.y)
+        z = jnp.where(spawn, z_top, c.z)
+        ux = jnp.where(spawn, u0x, c.ux)
+        uy = jnp.where(spawn, u0y, c.uy)
+        uz = jnp.where(spawn, u0z, c.uz)
+        wsc = jnp.where(spawn, 1.0, c.wsc)
+        labs = jnp.where(spawn[:, None], 0.0, c.labs)
+        tau = jnp.where(spawn, -jnp.log(u[:, 2]), c.tau)
+        nscat = jnp.where(spawn, 0, c.nscat)
+        alive = c.alive | spawn
+        ix0 = jnp.where(spawn, local_ix(x), c.ix0)
+        iy0 = jnp.where(spawn, jnp.floor(y / st.dy).astype(jnp.int32) % st.ny, c.iy0)
+
+        # lanes outside the local slab are frozen until migrated
+        if slab is None:
+            active = alive
+        else:
+            in_slab = (x >= x_off) & (x < x_off + lx_loc)
+            active = alive & in_slab
 
         # ---------------- analytic flight through the majorant ----------------
         uz_safe = jnp.where(jnp.abs(uz) < 1e-6, jnp.sign(uz + 1e-30) * 1e-6, uz)
         inv_uz = 1.0 / uz_safe
-        s_lo = (z_lev[None, :-1] - z[:, None]) * inv_uz[:, None]   # (B, Nz)
+        s_lo = (z_lev[None, :-1] - z[:, None]) * inv_uz[:, None]
         s_hi = (z_lev[None, 1:] - z[:, None]) * inv_uz[:, None]
         d_in = jnp.maximum(jnp.minimum(s_lo, s_hi), 0.0)
         d_out = jnp.maximum(jnp.maximum(s_lo, s_hi), 0.0)
-        seg = jnp.maximum(d_out - d_in, 0.0)                       # (B, Nz)
+        seg = jnp.maximum(d_out - d_in, 0.0)
 
         od = seg * sig_maj[None, :]
         going_up = uz > 0.0
         cum_up = jnp.cumsum(od, axis=1)
         cum_dn = jnp.cumsum(od[:, ::-1], axis=1)[:, ::-1]
-        cum = jnp.where(going_up[:, None], cum_up, cum_dn)         # OD at layer exit
+        cum = jnp.where(going_up[:, None], cum_up, cum_dn)
         total_od = jnp.where(going_up, cum_up[:, -1], cum_dn[:, 0])
 
-        collided = alive & (tau < total_od)
-        full = cum < tau[:, None]                                  # fully-traversed layers
+        collided = active & (tau < total_od)
+        full = cum < tau[:, None]
         n_full = jnp.sum(full.astype(jnp.int32), axis=1)
-        l_col = jnp.where(going_up, n_full, nz - 1 - n_full)
-        l_col = jnp.clip(l_col, 0, nz - 1)
+        l_col = jnp.clip(jnp.where(going_up, n_full, nz - 1 - n_full), 0, nz - 1)
         oh_col = (jax.lax.broadcasted_iota(jnp.int32, (B, nz), 1)
                   == l_col[:, None]).astype(_F)
         sig_m = jnp.sum(oh_col * sig_maj[None, :], axis=1)
@@ -182,45 +229,58 @@ def transport_flight(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         d_before = jnp.sum(seg * full.astype(_F), axis=1)
         s_col = d_before + (tau - cum_before) / sig_m
         s_star = jnp.where(collided, s_col, jnp.sum(seg, axis=1))
-        s_star = jnp.where(alive, s_star, 0.0)
+        s_star = jnp.where(active, s_star, 0.0)
 
-        # traveled path per layer (for gas absorption)
-        trav = jnp.where(collided[:, None],
-                         seg * full.astype(_F) + oh_col * (s_star - d_before)[:, None],
-                         seg)
+        if slab is not None:
+            # clamp flights at the slab x-faces: the voxel data beyond the
+            # face lives on the neighbor device, so the lane advances to just
+            # past the face, freezes, and is migrated by the driver
+            s_face = jnp.where(ux > 1e-7, (x_off + lx_loc - x) / ux,
+                               jnp.where(ux < -1e-7, (x_off - x) / ux, 1e30))
+            s_face = jnp.maximum(s_face, 0.0)
+            clamped = active & (s_face < s_star)
+            s_star = jnp.minimum(s_star, s_face)
+            collided = collided & ~clamped
+            face_x = jnp.where(ux > 0, x_off + lx_loc, x_off)
+        else:
+            clamped = jnp.zeros(B, bool)
+            face_x = x
+
+        # traveled path per layer, valid for collided/exit/clamped alike
+        trav = jnp.clip(jnp.minimum(d_out, s_star[:, None]) - d_in, 0.0, seg)
+        trav = jnp.where(active[:, None], trav, 0.0)
 
         if not st.ipa:
-            x = (x + ux * s_star) % lx
-            y = (y + uy * s_star) % ly
-        z = jnp.clip(z + uz * s_star, 0.0, z_top)
-        hit_sfc = alive & ~collided & ~going_up
-        exit_toa = alive & ~collided & going_up
+            x = jnp.where(active, (x + ux * s_star) % lx_glob, x)
+            if slab is not None:
+                # place clamped lanes robustly past the face (f32-safe epsilon)
+                eps_x = 1e-3 * st.dx
+                x = jnp.where(clamped,
+                              (face_x + jnp.sign(ux) * eps_x) % lx_glob, x)
+            y = jnp.where(active, (y + uy * s_star) % ly, y)
+        z = jnp.where(active, jnp.clip(z + uz * s_star, 0.0, z_top), z)
+        hit_sfc = active & ~collided & ~clamped & ~going_up
+        exit_toa = active & ~collided & ~clamped & going_up
         z = jnp.where(hit_sfc, 0.0, z)
 
-        # vertical path above the event point per layer (sensor attenuation)
         above = jnp.clip(z_lev[None, 1:] - jnp.maximum(z[:, None], z_lev[None, :-1]),
                          0.0, dz_lay[None, :]) / mu_s
-
         big = jnp.dot(jnp.concatenate([trav, above], axis=1), kop,
-                      preferred_element_type=_F)                   # (B, 2Ng+2)
+                      preferred_element_type=_F)
         labs = labs - big[:, :ng + 1]
         tau_sens_abs = big[:, ng + 1:2 * ng + 1]
         tau_sens_sig = big[:, 2 * ng + 1]
 
-        # ---------------- collision: accept / scatter ----------------
+        # ---------------- collision: accept / channel ----------------
         ix, iy = col_index(x, y, ix0, iy0)
         k3 = jnp.clip(l_col - st.iz3l, 0, st.nz3 - 1)
         in3 = (l_col >= st.iz3l) & (l_col < st.iz3l + st.nz3) if st.has_3d \
             else jnp.zeros(B, bool)
-        vrow = vox[(ix * st.ny + iy) * st.nz3 + k3]                # (B, 4) one gather
+        vrow = vox[(ix * st.ny + iy) * st.nz3 + k3]
         ext_c = jnp.where(in3, vrow[:, 0], 0.0)
         ssa_c = jnp.where(in3, vrow[:, 1], 1.0)
         apf_c = jnp.where(in3, vrow[:, 2].astype(jnp.int32), 0)
-        # 3D extinction above the event along the vertical (nadir exact; for
-        # slant sensors the same column is used — the dominant term).
-        # Inside the region: cum above voxel top + partial voxel.  Below the
-        # region: k3 clips to 0, so the gathered row gives the full column
-        # (cum above voxel 0 + the whole of voxel 0).  Above: zero.
+
         z_hi_col = jnp.sum(oh_col * z_lev[None, 1:], axis=1)
         if st.has_3d:
             below3 = l_col < st.iz3l
@@ -228,10 +288,9 @@ def transport_flight(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
             tau3_above = jnp.where(
                 above3, 0.0,
                 jnp.where(below3, vrow[:, 3] + vrow[:, 0] * dz3[0],
-                          vrow[:, 3] + vrow[:, 0] * (z_hi_col - z)))
+                          vrow[:, 3] + vrow[:, 0] * (z_hi_col - z))) / mu_s
         else:
             tau3_above = jnp.zeros(B, _F)
-        tau3_above = tau3_above / mu_s
 
         sig_r = jnp.sum(oh_col * scene.sig_ray[None, :], axis=1)
         sig_a = jnp.sum(oh_col * scene.sig_aer[None, :], axis=1)
@@ -245,7 +304,7 @@ def transport_flight(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         apf = jnp.where(ch_cld, apf_c, jnp.where(ch_aer, n_pf - 1, 0))
         ssa_ev = jnp.where(ch_cld, ssa_c, 1.0)
 
-        # ---------------- local estimates (volume + surface) ----------------
+        # ---------------- local estimates ----------------
         mu_sc = ux * sx + uy * sy + uz * mu_s
         pval = phase_eval(apf, mu_sc)
         t_sens = jnp.exp(labs[:, :ng] - tau_sens_abs
@@ -255,23 +314,23 @@ def transport_flight(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         if uniform_sfc:
             alb = psfc_flat[0, 0]
         else:
-            sxi = jnp.floor(x / lx * st.nxs).astype(jnp.int32) % st.nxs
+            sxi = local_ix(x)
             syi = jnp.floor(y / ly * st.nys).astype(jnp.int32) % st.nys
             alb = psfc_flat[sxi * st.nys + syi, 0]
         c_sfc = (wsc * alb / jnp.pi)[:, None] * t_sens
         contrib = jnp.where(accept[:, None], c_vol,
                             jnp.where(hit_sfc[:, None], c_sfc, 0.0))
 
+        rad = c.rad
         if nxr * nyr == 1:
-            # single-pixel image: deposit is a plain reduction, not a scatter
             rad = rad + jnp.sum(contrib, axis=0, keepdims=True)
         else:
             if st.ipa:
                 pidx = ix0 * nyr + iy0
             else:
-                xp = (x - sx / mu_s * z) % lx
+                xp = x - sx / mu_s * z
                 yp = (y - sy / mu_s * z) % ly
-                pidx = (jnp.floor(xp / st.dx).astype(jnp.int32) % nxr) * nyr \
+                pidx = local_ix(xp) * nyr \
                     + jnp.floor(yp / st.dy).astype(jnp.int32) % nyr
             rad = rad.at[pidx].add(contrib)
 
@@ -279,7 +338,6 @@ def transport_flight(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         mu_new = phase_sample(apf, u[:, 5])
         psi = u[:, 6] * (2.0 * jnp.pi)
         ux_s, uy_s, uz_s = rotate(ux, uy, uz, mu_new, psi)
-        # Lambertian surface reflection
         mu_r = jnp.sqrt(u[:, 5])
         sin_r = jnp.sqrt(jnp.maximum(1.0 - mu_r ** 2, 0.0))
         ux = jnp.where(accept, ux_s, jnp.where(hit_sfc, sin_r * jnp.cos(psi), ux))
@@ -287,43 +345,59 @@ def transport_flight(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         uz = jnp.where(accept, uz_s, jnp.where(hit_sfc, mu_r, uz))
         wsc = jnp.where(accept, wsc * ssa_ev, jnp.where(hit_sfc, wsc * alb, wsc))
         nscat = nscat + accept.astype(jnp.int32)
-        tau = jnp.where(alive, -jnp.log(u[:, 7]), tau)
+        tau = jnp.where(active, -jnp.log(u[:, 7]), tau)
 
         # ---------------- termination / roulette ----------------
         alive = alive & ~exit_toa & (nscat < cfg.n_scat_max) & (wsc > 0.0)
         wmax = wsc * jnp.exp(labs[:, ng])
-        need_rr = alive & (wmax < cfg.rr_wmin)
+        need_rr = active & (wmax < cfg.rr_wmin)
         p_surv = jnp.clip(wmax / cfg.rr_wmin, 0.0, 1.0)
         die = need_rr & (u[:, 3] > p_surv)
         wsc = jnp.where(need_rr & ~die, wsc / jnp.maximum(p_surv, 1e-12), wsc)
         alive = alive & ~die
 
-        return (x, y, z, ux, uy, uz, wsc, labs, tau, nscat, alive,
-                ix0, iy0, launched, step + 1, rad)
+        return FlightCarry(x=x, y=y, z=z, ux=ux, uy=uy, uz=uz, wsc=wsc,
+                           labs=labs, tau=tau, nscat=nscat, alive=alive,
+                           ix0=ix0, iy0=iy0, launched=launched,
+                           step=c.step + 1, rad=rad)
 
-    def cond(carry):
-        alive, launched, step = carry[10], carry[13], carry[14]
-        return (jnp.any(alive) | (launched < n_photon)) & (step < max_steps)
+    def cond(c: FlightCarry):
+        return jnp.any(c.alive) | (c.launched < n_photon)
 
     zB = jnp.zeros(B, _F)
-    carry0 = (zB, zB, zB, zB, zB, zB, zB,
-              jnp.zeros((B, ng + 1), _F), zB,
-              jnp.zeros(B, jnp.int32), jnp.zeros(B, bool),
-              jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32),
-              jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
-              jnp.zeros((nxr * nyr, ng), _F))
-    out = jax.lax.while_loop(cond, body, carry0)
-    return Tallies(rad=out[15].reshape(nxr, nyr, ng),
-                   flux=jnp.zeros((1, 1, nz + 1, 3, ng), _F),
-                   n_launched=out[13], n_steps=out[14])
+    carry0 = FlightCarry(
+        x=zB, y=zB, z=zB, ux=zB, uy=zB, uz=zB, wsc=zB,
+        labs=jnp.zeros((B, ng + 1), _F), tau=zB,
+        nscat=jnp.zeros(B, jnp.int32), alive=jnp.zeros(B, bool),
+        ix0=jnp.zeros(B, jnp.int32), iy0=jnp.zeros(B, jnp.int32),
+        launched=jnp.zeros((), jnp.int32), step=jnp.zeros((), jnp.int32),
+        rad=jnp.zeros((nxr * nyr, ng), _F))
+    return body, cond, carry0
+
+
+def transport_flight(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
+                     n_photon: int, key: jax.Array) -> Tallies:
+    body, cond, carry0 = make_flight_kernel(scene, st, cfg, n_photon, key)
+    if cfg.max_events:
+        max_steps = cfg.max_events
+    else:
+        max_steps = int(np.ceil(n_photon / cfg.batch + 1) * 400)
+
+    def cond_capped(c):
+        return cond(c) & (c.step < max_steps)
+
+    out = jax.lax.while_loop(cond_capped, body, carry0)
+    return Tallies(rad=out.rad.reshape(st.nx, st.ny, st.ng),
+                   flux=jnp.zeros((1, 1, st.nz + 1, 3, st.ng), _F),
+                   n_launched=out.launched, n_steps=out.step)
 
 
 def run_transport_flight(scene, static, cfg, n_photon, seed=0, rng_impl='rbg'):
     """Jitted entry point.
 
-    ``rng_impl='rbg'`` uses the TPU's hardware RNG path (much cheaper per
-    deviate than threefry inside the hot loop and equally adequate for MC
-    sampling); pass 'threefry2x32' for cross-platform bitwise determinism.
+    ``rng_impl='rbg'`` uses the TPU's fast RNG path (cheaper per deviate than
+    threefry inside the hot loop); pass 'threefry2x32' for cross-platform
+    bitwise determinism.
     """
     fn = jax.jit(transport_flight, static_argnums=(1, 2, 3))
     try:

@@ -1,0 +1,82 @@
+"""Multi-device tests on the virtual 8-device CPU mesh.
+
+Validates the two scaling modes against the single-device kernel:
+photon-parallel (replicated scene, psum tallies) and x-slab domain
+decomposition with bijective window-swap photon migration.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from er3t_tpu.pre.atm import atm_atmmod
+from er3t_tpu.pre.abs import abs_synthetic
+from er3t_tpu.pre.cld import cld_gen_hom
+from er3t_tpu.rtm.scene import build_scene
+from er3t_tpu.rtm.mc import SolverConfig
+from er3t_tpu.rtm.mc_flight import run_transport_flight
+from er3t_tpu.dist.mesh import make_mesh
+from er3t_tpu.dist.photon import transport_photon_parallel
+from er3t_tpu.dist.decomp import transport_decomp
+
+
+@pytest.fixture(scope='module')
+def cloudy_scene():
+    atm = atm_atmmod(np.linspace(0, 20, 21))
+    ab = abs_synthetic(650.0, atm)
+    cld = cld_gen_hom(nx=16, ny=8, nz=2, dx=0.5, dy=0.5, cot0=8.0, cer0=10.0,
+                      cloud_base=1.0, cloud_top=3.0)
+    # horizontally inhomogeneous: clear out half the domain
+    cld.extinction[8:] = 0.0
+    cld.cer[8:] = 0.0
+    scn, st = build_scene(atm, ab, cld=cld, surface=0.1,
+                          solar_zenith_angle=30.0)
+    return ab, scn, st
+
+
+def _mean_rad(tal, ab, st):
+    return np.asarray(tal.rad) @ ab.weight / int(tal.n_launched) * st.nx * st.ny
+
+
+def test_devices_available():
+    assert len(jax.devices()) >= 8
+
+
+def test_photon_parallel_matches_single(cloudy_scene):
+    ab, scn, st = cloudy_scene
+    cfg = SolverConfig(target='radiance', batch=1 << 11)
+    t1 = run_transport_flight(scn, st, cfg, 60000, seed=3)
+    mesh = make_mesh(8, decomp=1)
+    t8 = transport_photon_parallel(scn, st, cfg, 60000, mesh, seed=4)
+    assert int(t8.n_launched) == 60000
+    r1 = _mean_rad(t1, ab, st).mean()
+    r8 = _mean_rad(t8, ab, st).mean()
+    assert r8 == pytest.approx(r1, rel=0.05)
+
+
+def test_decomp_matches_single(cloudy_scene):
+    ab, scn, st = cloudy_scene
+    cfg = SolverConfig(target='radiance', batch=1 << 11)
+    t1 = run_transport_flight(scn, st, cfg, 120000, seed=5)
+    mesh = make_mesh(4, decomp=4)
+    td = transport_decomp(scn, st, cfg, 120000, mesh, seed=6, k_super=16)
+    assert int(td.n_launched) == 120000
+    r1 = _mean_rad(t1, ab, st)
+    rd = _mean_rad(td, ab, st)
+    # domain mean and per-half means agree within MC noise
+    assert rd.mean() == pytest.approx(r1.mean(), rel=0.05)
+    assert rd[:8].mean() == pytest.approx(r1[:8].mean(), rel=0.07)   # cloudy half
+    assert rd[8:].mean() == pytest.approx(r1[8:].mean(), rel=0.07)   # clear half
+
+
+def test_decomp_2d_mesh(cloudy_scene):
+    """Composite sharding: 2 slabs x 4 photon streams."""
+    ab, scn, st = cloudy_scene
+    cfg = SolverConfig(target='radiance', batch=1 << 10)
+    mesh = make_mesh(8, decomp=2)
+    td = transport_decomp(scn, st, cfg, 80000, mesh, seed=8, k_super=16)
+    assert int(td.n_launched) == 80000
+    rd = _mean_rad(td, ab, st)
+    assert np.all(np.isfinite(rd))
+    assert rd[:8].mean() > rd[8:].mean()  # cloudy half brighter
