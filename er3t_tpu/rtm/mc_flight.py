@@ -135,7 +135,10 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
     z_top = z_lev[-1]
 
     uniform_sfc = (st.nxs == 1 and st.nys == 1)
-    psfc_flat = scene.psfc.reshape(-1, 5)
+    # packed surface table: [jsfc, p0..p4] — one gather per surface event
+    sfc_tab = jnp.concatenate(
+        [scene.jsfc.reshape(-1, 1).astype(_F), scene.psfc.reshape(-1, 5)],
+        axis=1)
 
     def local_ix(x):
         return jnp.clip(jnp.floor((x - x_off) / st.dx).astype(jnp.int32),
@@ -172,7 +175,7 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
 
     def body(c: FlightCarry) -> FlightCarry:
         k_iter = jax.random.fold_in(key, c.step)
-        u = jax.random.uniform(k_iter, (B, 8), dtype=_F,
+        u = jax.random.uniform(k_iter, (B, 11), dtype=_F,
                                minval=1e-7, maxval=1.0 - 1e-7)
 
         # ---------------- respawn (into the local slab) ----------------
@@ -311,13 +314,17 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                          - (tau_sens_sig + tau3_above)[:, None])
         c_vol = (wsc * ssa_ev * pval / (4.0 * jnp.pi * mu_s))[:, None] * t_sens
 
+        from .brdf import brdf_eval, brdf_sample_dir_weight
         if uniform_sfc:
-            alb = psfc_flat[0, 0]
+            srow = jnp.broadcast_to(sfc_tab[0], (B, 6))
         else:
             sxi = local_ix(x)
             syi = jnp.floor(y / ly * st.nys).astype(jnp.int32) % st.nys
-            alb = psfc_flat[sxi * st.nys + syi, 0]
-        c_sfc = (wsc * alb / jnp.pi)[:, None] * t_sens
+            srow = sfc_tab[sxi * st.nys + syi]
+        jsfc_l = srow[:, 0].astype(jnp.int32)
+        psfc_l = srow[:, 1:]
+        rho_sens = brdf_eval(jsfc_l, psfc_l, ux, uy, uz, sx, sy, mu_s)
+        c_sfc = (wsc * rho_sens)[:, None] * t_sens
         contrib = jnp.where(accept[:, None], c_vol,
                             jnp.where(hit_sfc[:, None], c_sfc, 0.0))
 
@@ -338,12 +345,12 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         mu_new = phase_sample(apf, u[:, 5])
         psi = u[:, 6] * (2.0 * jnp.pi)
         ux_s, uy_s, uz_s = rotate(ux, uy, uz, mu_new, psi)
-        mu_r = jnp.sqrt(u[:, 5])
-        sin_r = jnp.sqrt(jnp.maximum(1.0 - mu_r ** 2, 0.0))
-        ux = jnp.where(accept, ux_s, jnp.where(hit_sfc, sin_r * jnp.cos(psi), ux))
-        uy = jnp.where(accept, uy_s, jnp.where(hit_sfc, sin_r * jnp.sin(psi), uy))
-        uz = jnp.where(accept, uz_s, jnp.where(hit_sfc, mu_r, uz))
-        wsc = jnp.where(accept, wsc * ssa_ev, jnp.where(hit_sfc, wsc * alb, wsc))
+        bx, by, bz, bw = brdf_sample_dir_weight(
+            jsfc_l, psfc_l, ux, uy, uz, u[:, 5], u[:, 6], u[:, 9], u[:, 10])
+        ux = jnp.where(accept, ux_s, jnp.where(hit_sfc, bx, ux))
+        uy = jnp.where(accept, uy_s, jnp.where(hit_sfc, by, uy))
+        uz = jnp.where(accept, uz_s, jnp.where(hit_sfc, bz, uz))
+        wsc = jnp.where(accept, wsc * ssa_ev, jnp.where(hit_sfc, wsc * bw, wsc))
         nscat = nscat + accept.astype(jnp.int32)
         tau = jnp.where(active, -jnp.log(u[:, 7]), tau)
 
@@ -352,7 +359,7 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         wmax = wsc * jnp.exp(labs[:, ng])
         need_rr = active & (wmax < cfg.rr_wmin)
         p_surv = jnp.clip(wmax / cfg.rr_wmin, 0.0, 1.0)
-        die = need_rr & (u[:, 3] > p_surv)
+        die = need_rr & (u[:, 8] > p_surv)
         wsc = jnp.where(need_rr & ~die, wsc / jnp.maximum(p_surv, 1e-12), wsc)
         alive = alive & ~die
 
