@@ -106,16 +106,14 @@ def cld_les(fname_nc: str, coarsen=(1, 1, 1), q_factor: float = 2.0,
     0.75*Qe*LWC/(rho_w*CER); cloud-free top trimmed; (Nz,Ny,Nx) transposed to
     (Nx,Ny,Nz); optional block coarsening.
     """
-    try:
-        from netCDF4 import Dataset
-    except ImportError as e:  # pragma: no cover
-        raise ImportError('cld_les requires netCDF4') from e
+    from ..util.ncio import open_any, read_var
 
-    with Dataset(fname_nc, 'r') as f:
-        x = f.variables['x'][:] / 1000.0
-        y = f.variables['y'][:] / 1000.0
-        z0 = f.variables['z'][:] / 1000.0
-        qc = np.asarray(f.variables['QC'][index_t, ...])    # g/kg
+    f = open_any(fname_nc)
+    try:
+        x = np.asarray(f.var('x')[0]) / 1000.0
+        y = np.asarray(f.var('y')[0]) / 1000.0
+        z0 = np.asarray(f.var('z')[0]) / 1000.0
+        qc = np.asarray(f.var('QC')[0][index_t, ...])       # g/kg
         nz0 = z0.size
         # trim cloud-free top, keep divisibility for coarsening
         qc_z = qc.sum(axis=(1, 2))
@@ -126,11 +124,13 @@ def cld_les(fname_nc: str, coarsen=(1, 1, 1), q_factor: float = 2.0,
             idx_e = min(coarsen[2] * (idx_e // coarsen[2] + 1), nz0)
         z = z0[:idx_e]
         qc = qc[:idx_e]
-        p = f.variables['p'][:idx_e]
-        qv = np.asarray(f.variables['QV'][index_t, :idx_e])
-        cer = np.asarray(f.variables['REL'][index_t, :idx_e])
-        nc = np.asarray(f.variables['NC'][index_t, :idx_e])
-        t3d = np.asarray(f.variables['TABS'][index_t, :idx_e])
+        p = np.asarray(f.var('p')[0])[:idx_e]
+        qv = np.asarray(f.var('QV')[0][index_t, :idx_e])
+        cer = np.asarray(f.var('REL')[0][index_t, :idx_e])
+        nc = np.asarray(f.var('NC')[0][index_t, :idx_e])
+        t3d = np.asarray(f.var('TABS')[0][index_t, :idx_e])
+    finally:
+        f.close()
 
     # humid-air density [kg/m^3]
     mmr = qv * 1e-3

@@ -1,0 +1,59 @@
+"""Himawari AHI L2 cloud-product reader (capability parity with
+er3t/util/ahi.py:20-178)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..util.grid import grid_by_extent
+from ..util.ncio import apply_scaling, open_any
+
+__all__ = ['ahi_l2']
+
+
+def _entry(data, name, units='N/A'):
+    return {'data': data, 'name': name, 'units': units}
+
+
+class ahi_l2:
+    """AHI L2 cloud properties (CLP product) -> gridded cot/cer maps."""
+
+    ID = 'AHI L2 Cloud'
+
+    def __init__(self, fnames, extent=None, nx=None, ny=None):
+        lons, lats, cots, cers = [], [], [], []
+        for fname in np.atleast_1d(fnames):
+            f = open_any(fname)
+            try:
+                lon1, _ = f.var('longitude')
+                lat1, _ = f.var('latitude')
+                cot, a1 = f.var('CLOT')
+                cer, a2 = f.var('CLER_23')
+                cot = apply_scaling(cot, a1)
+                cer = apply_scaling(cer, a2)
+                lon, lat = np.meshgrid(np.asarray(lon1), np.asarray(lat1),
+                                       indexing='xy')
+                sel = np.ones(lon.shape, bool)
+                if extent is not None:
+                    sel = ((lon >= extent[0]) & (lon <= extent[1]) &
+                           (lat >= extent[2]) & (lat <= extent[3]))
+                lons.append(lon[sel]); lats.append(lat[sel])
+                cots.append(cot[sel]); cers.append(cer[sel])
+            finally:
+                f.close()
+        lon = np.concatenate(lons); lat = np.concatenate(lats)
+        cot = np.nan_to_num(np.concatenate(cots), nan=0.0)
+        cer = np.nan_to_num(np.concatenate(cers), nan=0.0)
+        self.data = {
+            'lon': _entry(lon, 'Longitude', 'deg'),
+            'lat': _entry(lat, 'Latitude', 'deg'),
+            'cot': _entry(cot, 'Cloud optical thickness'),
+            'cer': _entry(cer, 'Cloud effective radius', 'um'),
+        }
+        if extent is not None:
+            lon2, lat2, cot2 = grid_by_extent(lon, lat, cot, extent, nx=nx, ny=ny)
+            _, _, cer2 = grid_by_extent(lon, lat, cer, extent, nx=nx, ny=ny)
+            self.data['lon_2d'] = _entry(lon2, 'Gridded longitude', 'deg')
+            self.data['lat_2d'] = _entry(lat2, 'Gridded latitude', 'deg')
+            self.data['cot_2d'] = _entry(np.nan_to_num(cot2), 'Gridded COT')
+            self.data['cer_2d'] = _entry(np.nan_to_num(cer2), 'Gridded CER', 'um')
