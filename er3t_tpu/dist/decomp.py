@@ -40,7 +40,7 @@ def _pack(c: FlightCarry) -> jnp.ndarray:
     """Lane state -> (B, F) float matrix (ints fit exactly in f32)."""
     cols = [c.x, c.y, c.z, c.ux, c.uy, c.uz, c.wsc, c.tau,
             c.nscat.astype(_F), c.ix0.astype(_F), c.iy0.astype(_F),
-            c.alive.astype(_F)]
+            c.alive.astype(_F), c.plen]
     return jnp.concatenate([jnp.stack(cols, axis=1), c.labs], axis=1)
 
 
@@ -49,7 +49,7 @@ def _unpack(m: jnp.ndarray, c: FlightCarry) -> FlightCarry:
         x=m[:, 0], y=m[:, 1], z=m[:, 2], ux=m[:, 3], uy=m[:, 4], uz=m[:, 5],
         wsc=m[:, 6], tau=m[:, 7], nscat=m[:, 8].astype(jnp.int32),
         ix0=m[:, 9].astype(jnp.int32), iy0=m[:, 10].astype(jnp.int32),
-        alive=m[:, 11] > 0.5, labs=m[:, 12:])
+        alive=m[:, 11] > 0.5, plen=m[:, 12], labs=m[:, 13:])
 
 
 def transport_decomp(scene, st, cfg: SolverConfig, n_photon: int, mesh,
@@ -127,7 +127,7 @@ def transport_decomp(scene, st, cfg: SolverConfig, n_photon: int, mesh,
         flux = jnp.zeros((1, 1, st.nz + 1, 3, st.ng), _F)
         return Tallies(rad=rad, flux=flux, n_launched=launched, n_steps=steps)
 
-    out_specs = Tallies(rad=P('x'), flux=P(), n_launched=P(), n_steps=P())
+    out_specs = Tallies(rad=P('x'), flux=P(), n_launched=P(), n_steps=P(), rad_plen=P())
     fn = jax.jit(jax.shard_map(worker, mesh=mesh, in_specs=(in_specs,),
                                out_specs=out_specs, check_vma=False))
     return fn(scene)

@@ -49,7 +49,7 @@ def transport_photon_parallel(scene, st, cfg: SolverConfig, n_photon: int,
         return jax.shard_map(
             worker, mesh=mesh,
             in_specs=(P(), P(*axis_names)),
-            out_specs=Tallies(rad=P(), flux=P(), n_launched=P(), n_steps=P()),
+            out_specs=Tallies(rad=P(), flux=P(), n_launched=P(), n_steps=P(), rad_plen=P()),
             check_vma=False,
         )(scene, seeds)
 

@@ -61,6 +61,13 @@ class SolverConfig:
     max_events: int = 0                # 0 -> auto bound
     rr_wmin: float = 0.1               # Russian-roulette threshold
     n_scat_max: int = 2000
+    p3d_order: int = 0                 # >0: partial-3D — pin the column after
+    #                                     this scattering order (MCARaTS
+    #                                     solver=1 spirit: full 3D for low
+    #                                     orders, columnar for high orders)
+    pathlength: bool = False           # tally mean photon pathlength per
+    #                                     pixel (MCARaTS Rad_mplen,
+    #                                     mca_inp.py:148-152)
 
 
 class Tallies(NamedTuple):
@@ -68,6 +75,8 @@ class Tallies(NamedTuple):
     flux: jnp.ndarray       # (Nxf, Nyf, Nz+1, 3, Ng): down-dir, down-dif, up
     n_launched: jnp.ndarray  # () int32
     n_steps: jnp.ndarray = jnp.zeros((), jnp.int32)  # while-loop iterations
+    rad_plen: jnp.ndarray = jnp.zeros(())  # (Nxr, Nyr, Ng) pathlength-weighted
+    #                                        radiance (mean path = rad_plen/rad)
 
 
 class _State(NamedTuple):

@@ -68,11 +68,13 @@ class FlightCarry(NamedTuple):
     tau: jnp.ndarray
     nscat: jnp.ndarray
     alive: jnp.ndarray
-    ix0: jnp.ndarray
-    iy0: jnp.ndarray
+    ix0: jnp.ndarray        # pinned column (birth for IPA; last low-order
+    iy0: jnp.ndarray        # scatter for partial-3D)
     launched: jnp.ndarray   # () int32
     step: jnp.ndarray       # () int32
     rad: jnp.ndarray        # (Nxr*Nyr, Ng)
+    plen: jnp.ndarray       # (B,) geometric pathlength [m]
+    rad_pl: jnp.ndarray     # (Nxr*Nyr, Ng) pathlength-weighted deposits
 
 
 def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
@@ -144,10 +146,16 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         return jnp.clip(jnp.floor((x - x_off) / st.dx).astype(jnp.int32),
                         0, nx_loc - 1)
 
-    def col_index(x, y, ix0, iy0):
+    def col_index(x, y, ix0, iy0, nscat):
+        """Voxel column for gathers; honors IPA and partial-3D pinning."""
+        ixl = local_ix(x)
+        iyl = jnp.floor(y / st.dy).astype(jnp.int32) % st.ny
         if st.ipa:
             return ix0, iy0
-        return local_ix(x), jnp.floor(y / st.dy).astype(jnp.int32) % st.ny
+        if cfg.p3d_order > 0:
+            pin = nscat >= cfg.p3d_order
+            return jnp.where(pin, ix0, ixl), jnp.where(pin, iy0, iyl)
+        return ixl, iyl
 
     def phase_eval(apf, mu):
         i0 = jnp.clip((((mu + 1.0) * 0.5 * (n_m - 1)) + 0.5).astype(jnp.int32),
@@ -197,6 +205,7 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         alive = c.alive | spawn
         ix0 = jnp.where(spawn, local_ix(x), c.ix0)
         iy0 = jnp.where(spawn, jnp.floor(y / st.dy).astype(jnp.int32) % st.ny, c.iy0)
+        plen = jnp.where(spawn, 0.0, c.plen)
 
         # lanes outside the local slab are frozen until migrated
         if slab is None:
@@ -274,8 +283,10 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         tau_sens_abs = big[:, ng + 1:2 * ng + 1]
         tau_sens_sig = big[:, 2 * ng + 1]
 
+        plen = plen + jnp.where(active, s_star, 0.0)
+
         # ---------------- collision: accept / channel ----------------
-        ix, iy = col_index(x, y, ix0, iy0)
+        ix, iy = col_index(x, y, ix0, iy0, nscat)
         k3 = jnp.clip(l_col - st.iz3l, 0, st.nz3 - 1)
         in3 = (l_col >= st.iz3l) & (l_col < st.iz3l + st.nz3) if st.has_3d \
             else jnp.zeros(B, bool)
@@ -329,8 +340,13 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                             jnp.where(hit_sfc[:, None], c_sfc, 0.0))
 
         rad = c.rad
+        rad_pl = c.rad_pl
+        # pathlength at detection: path so far + vertical exit path to TOA
+        pl_det = (plen + (z_top - z) / mu_s)[:, None]
         if nxr * nyr == 1:
             rad = rad + jnp.sum(contrib, axis=0, keepdims=True)
+            if cfg.pathlength:
+                rad_pl = rad_pl + jnp.sum(contrib * pl_det, axis=0, keepdims=True)
         else:
             if st.ipa:
                 pidx = ix0 * nyr + iy0
@@ -340,6 +356,8 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                 pidx = local_ix(xp) * nyr \
                     + jnp.floor(yp / st.dy).astype(jnp.int32) % nyr
             rad = rad.at[pidx].add(contrib)
+            if cfg.pathlength:
+                rad_pl = rad_pl.at[pidx].add(contrib * pl_det)
 
         # ---------------- direction updates ----------------
         mu_new = phase_sample(apf, u[:, 5])
@@ -351,6 +369,11 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         uy = jnp.where(accept, uy_s, jnp.where(hit_sfc, by, uy))
         uz = jnp.where(accept, uz_s, jnp.where(hit_sfc, bz, uz))
         wsc = jnp.where(accept, wsc * ssa_ev, jnp.where(hit_sfc, wsc * bw, wsc))
+        if cfg.p3d_order > 0:
+            # partial-3D: track the column of the last low-order scatter
+            low = accept & (nscat < cfg.p3d_order)
+            ix0 = jnp.where(low, local_ix(x), ix0)
+            iy0 = jnp.where(low, jnp.floor(y / st.dy).astype(jnp.int32) % st.ny, iy0)
         nscat = nscat + accept.astype(jnp.int32)
         tau = jnp.where(active, -jnp.log(u[:, 7]), tau)
 
@@ -366,19 +389,21 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         return FlightCarry(x=x, y=y, z=z, ux=ux, uy=uy, uz=uz, wsc=wsc,
                            labs=labs, tau=tau, nscat=nscat, alive=alive,
                            ix0=ix0, iy0=iy0, launched=launched,
-                           step=c.step + 1, rad=rad)
+                           step=c.step + 1, rad=rad, plen=plen, rad_pl=rad_pl)
 
     def cond(c: FlightCarry):
         return jnp.any(c.alive) | (c.launched < n_photon)
 
     zB = jnp.zeros(B, _F)
+    n_pl = nxr * nyr if cfg.pathlength else 1
     carry0 = FlightCarry(
         x=zB, y=zB, z=zB, ux=zB, uy=zB, uz=zB, wsc=zB,
         labs=jnp.zeros((B, ng + 1), _F), tau=zB,
         nscat=jnp.zeros(B, jnp.int32), alive=jnp.zeros(B, bool),
         ix0=jnp.zeros(B, jnp.int32), iy0=jnp.zeros(B, jnp.int32),
         launched=jnp.zeros((), jnp.int32), step=jnp.zeros((), jnp.int32),
-        rad=jnp.zeros((nxr * nyr, ng), _F))
+        rad=jnp.zeros((nxr * nyr, ng), _F), plen=zB,
+        rad_pl=jnp.zeros((n_pl, ng), _F))
     return body, cond, carry0
 
 
@@ -394,9 +419,12 @@ def transport_flight(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         return cond(c) & (c.step < max_steps)
 
     out = jax.lax.while_loop(cond_capped, body, carry0)
+    rad_plen = out.rad_pl.reshape(st.nx, st.ny, st.ng) if cfg.pathlength \
+        else jnp.zeros(())
     return Tallies(rad=out.rad.reshape(st.nx, st.ny, st.ng),
                    flux=jnp.zeros((1, 1, st.nz + 1, 3, st.ng), _F),
-                   n_launched=out.launched, n_steps=out.step)
+                   n_launched=out.launched, n_steps=out.step,
+                   rad_plen=rad_plen)
 
 
 def run_transport_flight(scene, static, cfg, n_photon, seed=0, rng_impl='rbg'):
