@@ -401,22 +401,24 @@ def transport(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
 
         # ---------------- surface interaction (Lambertian v1; typed BRDFs
         # handled in rtm.brdf and dispatched here) ----------------
+        from .brdf import brdf_eval, brdf_sample_dir_weight
         sxi, syi = sfc_index(x, y)
-        alb = scene.psfc[sxi, syi, 0]
+        jsfc_l = scene.jsfc[sxi, syi]
+        psfc_l = scene.psfc[sxi, syi]
         if radiance:
+            rho_s = brdf_eval(jsfc_l, psfc_l, ux, uy, uz, sx, sy, mu_s)
             tsens_s = sensor_trans(x, y, jnp.zeros_like(z), jnp.zeros_like(l), ix, iy, S)
-            c_sfc = (wsc * alb / jnp.pi)[:, None] * tsens_s
+            c_sfc = (wsc * rho_s)[:, None] * tsens_s
             pidx_s = rad_pixel(x, y, jnp.zeros_like(z), ix0, iy0)
             rad = rad.at[pidx_s].add(jnp.where(hit_sfc[:, None], c_sfc, 0.0))
 
-        # cosine-weighted reflection
-        mu_r = jnp.sqrt(u[:, 5])
-        sin_r = jnp.sqrt(jnp.maximum(1.0 - mu_r ** 2, 0.0))
-        psi_r = u[:, 6] * (2.0 * jnp.pi)
-        ux = jnp.where(hit_sfc, sin_r * jnp.cos(psi_r), ux)
-        uy = jnp.where(hit_sfc, sin_r * jnp.sin(psi_r), uy)
-        uz = jnp.where(hit_sfc, mu_r, uz)
-        wsc = jnp.where(hit_sfc, wsc * alb, wsc)
+        # typed BRDF reflection (Lambertian / LSRT / Cox-Munk)
+        bxd, byd, bzd, bwd = brdf_sample_dir_weight(
+            jsfc_l, psfc_l, ux, uy, uz, u[:, 5], u[:, 6], u[:, 2], u[:, 4])
+        ux = jnp.where(hit_sfc, bxd, ux)
+        uy = jnp.where(hit_sfc, byd, uy)
+        uz = jnp.where(hit_sfc, bzd, uz)
+        wsc = jnp.where(hit_sfc, wsc * bwd, wsc)
         direct = direct & ~hit_sfc
         z = jnp.where(hit_sfc, 0.0, z)
         tau = jnp.where(hit_sfc, -jnp.log(u[:, 7]), tau)

@@ -54,6 +54,34 @@ class Result:
     def __getitem__(self, k):
         return self.data[k]
 
+    def save_h5(self, fname, compression='gzip'):
+        """Dump results to HDF5 (the reference's mca_out_ng output format:
+        gzip'd datasets per field + run metadata, mca_out.py:209-233)."""
+        import h5py
+        with h5py.File(fname, 'w') as f:
+            for group, fields in (('', self.data), ('', self.std)):
+                for k, v in fields.items():
+                    arr = np.asarray(v)
+                    if arr.ndim > 0:
+                        f.create_dataset(k, data=arr, compression=compression)
+                    else:
+                        f[k] = arr
+            f.attrs['target'] = self.target
+            f.attrs['toa'] = self.toa
+            f.attrs['n_photon'] = self.n_photon
+            f.attrs['n_run'] = self.n_run
+
+    @classmethod
+    def load_h5(cls, fname):
+        import h5py
+        with h5py.File(fname, 'r') as f:
+            data = {k: f[k][...] for k in f if not k.endswith('_std')}
+            std = {k: f[k][...] for k in f if k.endswith('_std')}
+            return cls(target=str(f.attrs['target']), data=data, std=std,
+                       toa=float(f.attrs['toa']),
+                       n_photon=float(f.attrs['n_photon']),
+                       n_run=int(f.attrs['n_run']))
+
 
 def _single_run(scene, static, cfg, n_photon, seed, chunk=4_000_000):
     """One independent MC pass, split into bounded device calls.

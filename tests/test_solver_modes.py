@@ -1,0 +1,62 @@
+"""Solver-protocol tests: spectral modes, typed surfaces in flux mode,
+HDF5 round-trip, photon distribution parity."""
+
+import os
+
+import numpy as np
+import pytest
+
+from er3t_tpu.pre.atm import atm_atmmod
+from er3t_tpu.pre.abs import abs_synthetic
+from er3t_tpu.pre.sfc import sfc_ocean
+from er3t_tpu.rtm import solver
+
+
+@pytest.fixture(scope='module')
+def atm():
+    return atm_atmmod(np.linspace(0, 20, 21))
+
+
+def test_distribute_photon_parity():
+    """Reference protocol: 5% floor + remainder to extreme-weight g
+    (mcarats.py:553-565)."""
+    w = np.array([0.5, 0.3, 0.15, 0.05])
+    d = solver.distribute_photon(1000000, w)
+    assert d.sum() == 1000000
+    assert d.min() >= 0.05 / 4 * 1000000 * 0.9
+    assert d.argmax() == 0
+
+
+def test_independent_g_matches_correlated(atm):
+    ab = abs_synthetic(650.0, atm)
+    kw = dict(atm=atm, abs_coef=ab, surface=0.2, target='radiance',
+              solar_zenith_angle=30.0, n_run=1, batch=1 << 12)
+    rc = solver.solve(spectral='correlated', photons=150000, seed=1, **kw)
+    ri = solver.solve(spectral='independent', photons=300000, seed=2, **kw)
+    assert ri['rad'][0, 0] == pytest.approx(rc['rad'][0, 0], rel=0.05)
+
+
+def test_flux_over_ocean_surface(atm):
+    """Typed Cox-Munk surface in the flux (marching) kernel: ocean is dark,
+    most energy absorbed at the surface."""
+    ab = abs_synthetic(650.0, atm)
+    ab.abso_coef[:] = 0.0
+    ocean = sfc_ocean(650.0, u10=5.0)
+    res = solver.solve(atm=atm, abs_coef=ab, surface=ocean, target='flux',
+                       solar_zenith_angle=30.0, photons=40000, n_run=1,
+                       batch=1 << 12)
+    f_up_toa = float(np.squeeze(res['f_up'])[-1])
+    f_dn_sfc = float(np.squeeze(res['f_down'])[0])
+    assert 0.0 < f_up_toa < 0.15 * f_dn_sfc  # ocean albedo ~2-6%
+
+
+def test_result_h5_roundtrip(atm, tmp_path):
+    ab = abs_synthetic(650.0, atm)
+    res = solver.solve(atm=atm, abs_coef=ab, surface=0.1, target='flux',
+                       photons=20000, n_run=2, batch=1 << 11)
+    fname = os.path.join(tmp_path, 'out.h5')
+    res.save_h5(fname)
+    back = solver.Result.load_h5(fname)
+    np.testing.assert_allclose(back['f_up'], res['f_up'])
+    assert back.n_run == 2
+    assert 'f_up_std' in back.std
