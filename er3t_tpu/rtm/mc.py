@@ -68,6 +68,13 @@ class SolverConfig:
     pathlength: bool = False           # tally mean photon pathlength per
     #                                     pixel (MCARaTS Rad_mplen,
     #                                     mca_inp.py:148-152)
+    sensor_type: str = 'satellite'     # 'satellite' | 'camera' (ground-based
+    #                                     upward fisheye, MCARaTS Rad_mrkind=1)
+    cam_xpos: float = 0.5              # camera position, domain fractions
+    cam_ypos: float = 0.5              # (MCARaTS Rad_xpos/ypos)
+    cam_qmax: float = 89.0             # fisheye half-angle [deg]
+    cam_npix: int = 64                 # image is (cam_npix, cam_npix)
+    cam_rmin: float = 50.0             # point-estimator distance clamp [m]
 
 
 class Tallies(NamedTuple):

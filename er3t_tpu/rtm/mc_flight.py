@@ -91,7 +91,11 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
     B = cfg.batch
     nz, ng = st.nz, st.ng
     nx_loc = st.nx
-    nxr, nyr = st.nx, st.ny
+    camera = cfg.sensor_type == 'camera'
+    if camera:
+        nxr = nyr = cfg.cam_npix
+    else:
+        nxr, nyr = st.nx, st.ny
     if slab is None:
         nx_glob = st.nx
         x_off = jnp.zeros((), _F)
@@ -114,8 +118,12 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
     cum3d_top = jnp.concatenate(
         [jnp.cumsum((scene.ext3d * dz3[None, None, :])[..., ::-1], axis=-1)[..., ::-1][..., 1:],
          jnp.zeros((nx_loc, st.ny, 1), _F)], axis=-1)
-    vox = jnp.stack([scene.ext3d, scene.ssa3d,
-                     scene.apf3d.astype(_F), cum3d_top], axis=-1).reshape(-1, 4)
+    col_tot3d = cum3d_top[..., 0] + scene.ext3d[..., 0] * dz3[0] \
+        if st.nz3 > 0 else jnp.zeros((nx_loc, st.ny))
+    vox = jnp.stack([scene.ext3d, scene.ssa3d, scene.apf3d.astype(_F),
+                     cum3d_top,
+                     jnp.broadcast_to(col_tot3d[..., None], scene.ext3d.shape)],
+                    axis=-1).reshape(-1, 5)
 
     # absorption + sensor-attenuation matmul operator (see module docstring)
     kext = jnp.concatenate([scene.kabs, kabs_min[:, None]], axis=1)
@@ -275,9 +283,17 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         exit_toa = active & ~collided & ~clamped & going_up
         z = jnp.where(hit_sfc, 0.0, z)
 
-        above = jnp.clip(z_lev[None, 1:] - jnp.maximum(z[:, None], z_lev[None, :-1]),
-                         0.0, dz_lay[None, :]) / mu_s
-        big = jnp.dot(jnp.concatenate([trav, above], axis=1), kop,
+        # vertical path per layer toward the sensor: above the event for a
+        # satellite, below it for a ground camera (slant factor applied at
+        # the estimate)
+        if camera:
+            sens_path = jnp.clip(jnp.minimum(z[:, None], z_lev[None, 1:])
+                                 - z_lev[None, :-1], 0.0, dz_lay[None, :])
+        else:
+            sens_path = jnp.clip(
+                z_lev[None, 1:] - jnp.maximum(z[:, None], z_lev[None, :-1]),
+                0.0, dz_lay[None, :]) / mu_s
+        big = jnp.dot(jnp.concatenate([trav, sens_path], axis=1), kop,
                       preferred_element_type=_F)
         labs = labs - big[:, :ng + 1]
         tau_sens_abs = big[:, ng + 1:2 * ng + 1]
@@ -319,12 +335,6 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         ssa_ev = jnp.where(ch_cld, ssa_c, 1.0)
 
         # ---------------- local estimates ----------------
-        mu_sc = ux * sx + uy * sy + uz * mu_s
-        pval = phase_eval(apf, mu_sc)
-        t_sens = jnp.exp(labs[:, :ng] - tau_sens_abs
-                         - (tau_sens_sig + tau3_above)[:, None])
-        c_vol = (wsc * ssa_ev * pval / (4.0 * jnp.pi * mu_s))[:, None] * t_sens
-
         from .brdf import brdf_eval, brdf_sample_dir_weight
         if uniform_sfc:
             srow = jnp.broadcast_to(sfc_tab[0], (B, 6))
@@ -334,10 +344,51 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
             srow = sfc_tab[sxi * st.nys + syi]
         jsfc_l = srow[:, 0].astype(jnp.int32)
         psfc_l = srow[:, 1:]
-        rho_sens = brdf_eval(jsfc_l, psfc_l, ux, uy, uz, sx, sy, mu_s)
-        c_sfc = (wsc * rho_sens)[:, None] * t_sens
-        contrib = jnp.where(accept[:, None], c_vol,
-                            jnp.where(hit_sfc[:, None], c_sfc, 0.0))
+
+        if camera:
+            # point-estimator to a ground fisheye at (cam_x, cam_y, 0)
+            cam_x = cfg.cam_xpos * lx_glob
+            cam_y = cfg.cam_ypos * ly
+            dxs = (cam_x - x + 0.5 * lx_glob) % lx_glob - 0.5 * lx_glob
+            dys = (cam_y - y + 0.5 * ly) % ly - 0.5 * ly
+            r_cam = jnp.sqrt(dxs * dxs + dys * dys + z * z)
+            r_cam = jnp.maximum(r_cam, cfg.cam_rmin)
+            wsx_c, wsy_c, wsz_c = dxs / r_cam, dys / r_cam, -z / r_cam
+            mu_sc = ux * wsx_c + uy * wsy_c + uz * wsz_c
+            pval = phase_eval(apf, mu_sc)
+            if st.has_3d:
+                tau3_below = jnp.where(
+                    l_col < st.iz3l, 0.0,
+                    jnp.where(l_col >= st.iz3l + st.nz3, vrow[:, 4],
+                              vrow[:, 4] - vrow[:, 3]
+                              - vrow[:, 0] * (z_hi_col - z)))
+                tau3_below = jnp.clip(tau3_below, 0.0, None)
+            else:
+                tau3_below = jnp.zeros(B, _F)
+            slant = r_cam / jnp.maximum(z, 1.0)
+            t_sens = jnp.exp(labs[:, :ng] - slant[:, None] * tau_sens_abs
+                             - (slant * (tau_sens_sig + tau3_below))[:, None])
+            c_vol = (wsc * ssa_ev * pval
+                     / (4.0 * jnp.pi * r_cam * r_cam))[:, None] * t_sens
+            contrib = jnp.where(accept[:, None], c_vol, 0.0)
+            # fisheye pixel (equidistant projection, up-looking)
+            theta = jnp.arccos(jnp.clip(z / r_cam, 0.0, 1.0))
+            phi_c = jnp.arctan2(-dys, -dxs)
+            pr = jnp.clip(theta / jnp.deg2rad(cfg.cam_qmax), 0.0, 0.999)
+            cam_px = jnp.clip(((0.5 + 0.5 * pr * jnp.cos(phi_c)) * nxr)
+                              .astype(jnp.int32), 0, nxr - 1)
+            cam_py = jnp.clip(((0.5 + 0.5 * pr * jnp.sin(phi_c)) * nyr)
+                              .astype(jnp.int32), 0, nyr - 1)
+        else:
+            mu_sc = ux * sx + uy * sy + uz * mu_s
+            pval = phase_eval(apf, mu_sc)
+            t_sens = jnp.exp(labs[:, :ng] - tau_sens_abs
+                             - (tau_sens_sig + tau3_above)[:, None])
+            c_vol = (wsc * ssa_ev * pval / (4.0 * jnp.pi * mu_s))[:, None] * t_sens
+            rho_sens = brdf_eval(jsfc_l, psfc_l, ux, uy, uz, sx, sy, mu_s)
+            c_sfc = (wsc * rho_sens)[:, None] * t_sens
+            contrib = jnp.where(accept[:, None], c_vol,
+                                jnp.where(hit_sfc[:, None], c_sfc, 0.0))
 
         rad = c.rad
         rad_pl = c.rad_pl
@@ -348,7 +399,9 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
             if cfg.pathlength:
                 rad_pl = rad_pl + jnp.sum(contrib * pl_det, axis=0, keepdims=True)
         else:
-            if st.ipa:
+            if camera:
+                pidx = cam_px * nyr + cam_py
+            elif st.ipa:
                 pidx = ix0 * nyr + iy0
             else:
                 xp = x - sx / mu_s * z
@@ -419,9 +472,13 @@ def transport_flight(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         return cond(c) & (c.step < max_steps)
 
     out = jax.lax.while_loop(cond_capped, body, carry0)
-    rad_plen = out.rad_pl.reshape(st.nx, st.ny, st.ng) if cfg.pathlength \
+    if cfg.sensor_type == 'camera':
+        nxr = nyr = cfg.cam_npix
+    else:
+        nxr, nyr = st.nx, st.ny
+    rad_plen = out.rad_pl.reshape(nxr, nyr, st.ng) if cfg.pathlength \
         else jnp.zeros(())
-    return Tallies(rad=out.rad.reshape(st.nx, st.ny, st.ng),
+    return Tallies(rad=out.rad.reshape(nxr, nyr, st.ng),
                    flux=jnp.zeros((1, 1, st.nz + 1, 3, st.ng), _F),
                    n_launched=out.launched, n_steps=out.step,
                    rad_plen=rad_plen)

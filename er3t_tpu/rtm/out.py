@@ -72,6 +72,38 @@ def reduce_radiance(tally_rad: np.ndarray, n_launched: int, abs_coef,
     return {'rad': rad, 'toa': toa}
 
 
+def reduce_camera_radiance(tally_rad, n_launched, abs_coef, mu0,
+                           domain_area_m2, qmax_deg, date=None):
+    """Physical fisheye radiance [W/m^2/nm/sr] from a camera tally.
+
+    The point-estimator tallies flux-at-sensor per direction bin; dividing
+    by each pixel's solid angle (equidistant fisheye projection) yields
+    radiance.  Photon normalization: each photon carries
+    E(lambda)*mu0*A_domain / N.
+    """
+    nx, ny, ng = tally_rad.shape
+    factors, toa = spectral_factors(abs_coef, date=date, nz_out=1)
+    # per-pixel solid angle of the equidistant fisheye mapping
+    i, j = np.meshgrid(np.arange(nx), np.arange(ny), indexing='ij')
+    px = (i + 0.5) / nx * 2 - 1
+    py = (j + 0.5) / ny * 2 - 1
+    pr = np.sqrt(px ** 2 + py ** 2)
+    qmax = np.deg2rad(qmax_deg)
+    theta = pr * qmax
+    inside = pr < 1.0
+    # dOmega = sin(theta) dtheta dphi; jacobian of (px,py)->(theta,phi):
+    # dpx dpy = (pr/qmax^2)^-1 ... for the equidistant map pr = theta/qmax:
+    # dOmega = sin(theta)/pr * qmax^2 * dpx dpy / (2/nx * 2/ny scaling)
+    with np.errstate(invalid='ignore', divide='ignore'):
+        sinc = np.where(pr > 1e-6, np.sin(theta) / np.maximum(pr, 1e-6), qmax)
+    d_omega = sinc * qmax * (2.0 / nx) * (2.0 / ny)
+    d_omega = np.where(inside, d_omega, np.nan)
+
+    raw = tally_rad * (mu0 * domain_area_m2 / max(n_launched, 1))
+    rad = (raw @ factors[0]) / d_omega
+    return {'rad': rad, 'toa': toa, 'solid_angle': d_omega}
+
+
 def heating_rate(flux: dict, atm):
     """Shortwave heating rate [K/day] per layer from level net fluxes.
 
