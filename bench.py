@@ -59,14 +59,17 @@ def main():
     from er3t_tpu.rtm.mc_flight import run_transport_flight
 
     ab, scene, st = build()
-    cfg = SolverConfig(target='radiance', batch=1 << 17)
+    # big chunks amortize the straggler drain tail of each while-loop call;
+    # n_scat_max=600 bounds pathological walks (negligible energy at that
+    # order in delta-truncated clouds)
+    cfg = SolverConfig(target='radiance', batch=1 << 17, n_scat_max=600)
 
     # warm-up / compile
     tal = run_transport_flight(scene, st, cfg, 100_000, seed=0)
     _ = np.asarray(tal.rad)
 
-    chunk = 1_000_000
-    target_seconds = 90.0
+    chunk = 4_000_000
+    target_seconds = 120.0
     n_done = 0
     t_used = 0.0
     i = 0
