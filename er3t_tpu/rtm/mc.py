@@ -70,6 +70,8 @@ class SolverConfig:
     #                                     mca_inp.py:148-152)
     sensor_type: str = 'satellite'     # 'satellite' | 'camera' (ground-based
     #                                     upward fisheye, MCARaTS Rad_mrkind=1)
+    use_pallas: bool = False           # fused Pallas flight-core kernel
+    #                                     (TPU only; single-device path)
     cam_xpos: float = 0.5              # camera position, domain fractions
     cam_ypos: float = 0.5              # (MCARaTS Rad_xpos/ypos)
     cam_qmax: float = 89.0             # fisheye half-angle [deg]

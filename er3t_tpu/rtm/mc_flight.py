@@ -223,33 +223,44 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
             active = alive & in_slab
 
         # ---------------- analytic flight through the majorant ----------------
-        uz_safe = jnp.where(jnp.abs(uz) < 1e-6, jnp.sign(uz + 1e-30) * 1e-6, uz)
-        inv_uz = 1.0 / uz_safe
-        s_lo = (z_lev[None, :-1] - z[:, None]) * inv_uz[:, None]
-        s_hi = (z_lev[None, 1:] - z[:, None]) * inv_uz[:, None]
-        d_in = jnp.maximum(jnp.minimum(s_lo, s_hi), 0.0)
-        d_out = jnp.maximum(jnp.maximum(s_lo, s_hi), 0.0)
-        seg = jnp.maximum(d_out - d_in, 0.0)
-
-        od = seg * sig_maj[None, :]
         going_up = uz > 0.0
-        cum_up = jnp.cumsum(od, axis=1)
-        cum_dn = jnp.cumsum(od[:, ::-1], axis=1)[:, ::-1]
-        cum = jnp.where(going_up[:, None], cum_up, cum_dn)
-        total_od = jnp.where(going_up, cum_up[:, -1], cum_dn[:, 0])
+        if cfg.use_pallas and slab is None:
+            from .pallas_flight import flight_core
+            s_star, l_col, coll_i, trav_p, _ = flight_core(
+                c.step, z, uz, tau, active, z_lev, sig_maj,
+                nz=nz, with_rng=False)
+            collided = coll_i > 0
+            oh_col = (jax.lax.broadcasted_iota(jnp.int32, (B, nz), 1)
+                      == l_col[:, None]).astype(_F)
+            sig_m = jnp.sum(oh_col * sig_maj[None, :], axis=1)
+            d_in = d_out = seg = None
+        else:
+            uz_safe = jnp.where(jnp.abs(uz) < 1e-6, jnp.sign(uz + 1e-30) * 1e-6, uz)
+            inv_uz = 1.0 / uz_safe
+            s_lo = (z_lev[None, :-1] - z[:, None]) * inv_uz[:, None]
+            s_hi = (z_lev[None, 1:] - z[:, None]) * inv_uz[:, None]
+            d_in = jnp.maximum(jnp.minimum(s_lo, s_hi), 0.0)
+            d_out = jnp.maximum(jnp.maximum(s_lo, s_hi), 0.0)
+            seg = jnp.maximum(d_out - d_in, 0.0)
 
-        collided = active & (tau < total_od)
-        full = cum < tau[:, None]
-        n_full = jnp.sum(full.astype(jnp.int32), axis=1)
-        l_col = jnp.clip(jnp.where(going_up, n_full, nz - 1 - n_full), 0, nz - 1)
-        oh_col = (jax.lax.broadcasted_iota(jnp.int32, (B, nz), 1)
-                  == l_col[:, None]).astype(_F)
-        sig_m = jnp.sum(oh_col * sig_maj[None, :], axis=1)
-        cum_before = jnp.sum(od * full.astype(_F), axis=1)
-        d_before = jnp.sum(seg * full.astype(_F), axis=1)
-        s_col = d_before + (tau - cum_before) / sig_m
-        s_star = jnp.where(collided, s_col, jnp.sum(seg, axis=1))
-        s_star = jnp.where(active, s_star, 0.0)
+            od = seg * sig_maj[None, :]
+            cum_up = jnp.cumsum(od, axis=1)
+            cum_dn = jnp.cumsum(od[:, ::-1], axis=1)[:, ::-1]
+            cum = jnp.where(going_up[:, None], cum_up, cum_dn)
+            total_od = jnp.where(going_up, cum_up[:, -1], cum_dn[:, 0])
+
+            collided = active & (tau < total_od)
+            full = cum < tau[:, None]
+            n_full = jnp.sum(full.astype(jnp.int32), axis=1)
+            l_col = jnp.clip(jnp.where(going_up, n_full, nz - 1 - n_full), 0, nz - 1)
+            oh_col = (jax.lax.broadcasted_iota(jnp.int32, (B, nz), 1)
+                      == l_col[:, None]).astype(_F)
+            sig_m = jnp.sum(oh_col * sig_maj[None, :], axis=1)
+            cum_before = jnp.sum(od * full.astype(_F), axis=1)
+            d_before = jnp.sum(seg * full.astype(_F), axis=1)
+            s_col = d_before + (tau - cum_before) / sig_m
+            s_star = jnp.where(collided, s_col, jnp.sum(seg, axis=1))
+            s_star = jnp.where(active, s_star, 0.0)
 
         if slab is not None:
             # clamp flights at the slab x-faces: the voxel data beyond the
@@ -267,8 +278,11 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
             face_x = x
 
         # traveled path per layer, valid for collided/exit/clamped alike
-        trav = jnp.clip(jnp.minimum(d_out, s_star[:, None]) - d_in, 0.0, seg)
-        trav = jnp.where(active[:, None], trav, 0.0)
+        if cfg.use_pallas and slab is None:
+            trav = trav_p
+        else:
+            trav = jnp.clip(jnp.minimum(d_out, s_star[:, None]) - d_in, 0.0, seg)
+            trav = jnp.where(active[:, None], trav, 0.0)
 
         if not st.ipa:
             x = jnp.where(active, (x + ux * s_star) % lx_glob, x)
