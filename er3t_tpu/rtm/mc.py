@@ -161,6 +161,13 @@ def transport(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
     apf3d_flat = scene.apf3d.reshape(-1)
     cum3d_flat = cum3d.reshape(-1)
 
+    # packed per-layer and per-voxel tables: gathers cost ~per-row on TPU,
+    # so one wide row-fetch replaces several scalar fetches
+    lay_tab = jnp.stack([scene.z_lev[:-1], scene.z_lev[1:], scene.sig_maj,
+                         scene.sig_ray, scene.sig_aer], axis=1)     # (Nz, 5)
+    vox3 = jnp.stack([ext3d_flat, ssa3d_flat, apf3d_flat.astype(_F)],
+                     axis=1)                                        # (Nvox, 3)
+
     kabs_min = jnp.min(scene.kabs, axis=1)                         # (Nz,)
     n_u = scene.pt_mu.shape[1]
     n_m = scene.pt_p.shape[1]
@@ -250,24 +257,16 @@ def transport(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         return ix * nyr + iy
 
     def phase_eval(apf, mu):
-        """P(mu) for phase row ``apf`` (0 = Rayleigh, analytic)."""
-        fm = (mu + 1.0) * 0.5 * (n_m - 1)
-        i0 = jnp.clip(fm.astype(jnp.int32), 0, n_m - 2)
-        fr = fm - i0
-        flat = scene.pt_p.reshape(-1)
-        p0 = jnp.take(flat, apf * n_m + i0)
-        p1 = jnp.take(flat, apf * n_m + i0 + 1)
-        p_tab = p0 * (1 - fr) + p1 * fr
+        """P(mu) for phase row ``apf`` (0 = Rayleigh, analytic);
+        nearest-bin lookup (one gather)."""
+        i0 = jnp.clip((((mu + 1.0) * 0.5 * (n_m - 1)) + 0.5).astype(jnp.int32),
+                      0, n_m - 1)
+        p_tab = jnp.take(scene.pt_p.reshape(-1), apf * n_m + i0)
         return jnp.where(apf == 0, 0.75 * (1.0 + mu * mu), p_tab)
 
     def phase_sample(apf, u):
-        fu = u * (n_u - 1)
-        i0 = jnp.clip(fu.astype(jnp.int32), 0, n_u - 2)
-        fr = fu - i0
-        flat = scene.pt_mu.reshape(-1)
-        m0 = jnp.take(flat, apf * n_u + i0)
-        m1 = jnp.take(flat, apf * n_u + i0 + 1)
-        return jnp.clip(m0 * (1 - fr) + m1 * fr, -1.0, 1.0)
+        i0 = jnp.clip((u * (n_u - 1) + 0.5).astype(jnp.int32), 0, n_u - 1)
+        return jnp.take(scene.pt_mu.reshape(-1), apf * n_u + i0)
 
     def rotate(ux, uy, uz, mu, psi):
         """New direction at scattering cosine ``mu``, azimuth ``psi``."""
@@ -321,19 +320,14 @@ def transport(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
 
         flux = state.flux
         rad = state.rad
-
-        if cfg.target != 'radiance':
-            # TOA down-direct deposit for fresh photons
-            fix = ix0 if cfg.flux_per_column else jnp.zeros_like(ix0)
-            fiy = iy0 if cfg.flux_per_column else jnp.zeros_like(iy0)
-            fidx = ((fix * nyf + fiy) * nlev + nz) * 3 + 0
-            flux = flux.at[fidx].add(jnp.where(spawn[:, None], 1.0, 0.0))
+        # (the deterministic TOA down-direct deposit for launched photons is
+        # added once after the loop — it is exactly 1 per photon)
 
         # ---------------- advance to next event ----------------
-        sig_m = jnp.take(scene.sig_maj, l)
+        lt = lay_tab[jnp.clip(l, 0, nz - 1)]          # one packed row gather
+        zl_lo, zl_hi = lt[:, 0], lt[:, 1]
+        sig_m = lt[:, 2]
         s_col = tau / sig_m
-        zl_lo = jnp.take(scene.z_lev, jnp.clip(l, 0, nz))
-        zl_hi = jnp.take(scene.z_lev, jnp.clip(l + 1, 0, nz))
         going_up = uz > 0.0
         uz_safe = jnp.where(jnp.abs(uz) < 1e-7, jnp.where(going_up, 1e-7, -1e-7), uz)
         s_bound = jnp.where(going_up, (zl_hi - z) / uz_safe, (zl_lo - z) / uz_safe)
@@ -353,9 +347,11 @@ def transport(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
 
         # ---------------- collision handling ----------------
         in3 = (l >= st.iz3l) & (l < st.iz3l + st.nz3) & jnp.asarray(st.has_3d)
-        ext_c = jnp.where(in3, gather3d(ext3d_flat, ix, iy, l), 0.0)
-        sig_r = jnp.take(scene.sig_ray, l)
-        sig_a = jnp.take(scene.sig_aer, l)
+        k3 = jnp.clip(l - st.iz3l, 0, st.nz3 - 1)
+        vr = vox3[(ix * st.ny + iy) * st.nz3 + k3]    # one packed row gather
+        ext_c = jnp.where(in3, vr[:, 0], 0.0)
+        sig_r = lt[:, 3]
+        sig_a = lt[:, 4]
         sig_real = sig_r + sig_a + ext_c
         accept = alive & is_col & (u[:, 3] * sig_m < sig_real)
 
@@ -365,8 +361,8 @@ def transport(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         ch_aer = accept & ~ch_ray & (pick < sig_r + sig_a)
         ch_cld = accept & ~ch_ray & ~ch_aer
 
-        ssa_c = jnp.where(in3, gather3d(ssa3d_flat, ix, iy, l), 1.0)
-        apf_c = jnp.where(in3, gather3d(apf3d_flat, ix, iy, l), 0)
+        ssa_c = jnp.where(in3, vr[:, 1], 1.0)
+        apf_c = jnp.where(in3, vr[:, 2].astype(jnp.int32), 0)
         n_pf = scene.pt_mu.shape[0]
         aer_row = n_pf - 1
         apf = jnp.where(ch_cld, apf_c, jnp.where(ch_aer, aer_row, 0))
@@ -466,8 +462,14 @@ def transport(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         flux=jnp.zeros((nxf * nyf * nlev * 3, ng), _F),
     )
     out = jax.lax.while_loop(cond, body, state0)
+    flux = out.flux.reshape(nxf, nyf, nlev, 3, ng)
+    if cfg.target != 'radiance':
+        # TOA down-direct entry: exactly one crossing per launched photon,
+        # deposited deterministically (uniform spawn ⇒ uniform expectation)
+        per_col = out.launched.astype(_F) / (nxf * nyf)
+        flux = flux.at[:, :, nz, 0, :].add(per_col)
     return Tallies(rad=out.rad.reshape(nxr, nyr, ng),
-                   flux=out.flux.reshape(nxf, nyf, nlev, 3, ng),
+                   flux=flux,
                    n_launched=out.launched, n_steps=out.step)
 
 
