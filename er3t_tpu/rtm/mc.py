@@ -72,6 +72,13 @@ class SolverConfig:
     #                                     upward fisheye, MCARaTS Rad_mrkind=1)
     use_pallas: bool = False           # fused Pallas flight-core kernel
     #                                     (TPU only; single-device path)
+    tile_size: int = 0                 # >0: per-tile scattering majorants in
+    #                                     the flight kernel (tile_size^2
+    #                                     columns per tile) — the counterpart
+    #                                     of MCARaTS's max-cross-section
+    #                                     super-voxels (Atm_mcs_*,
+    #                                     mca_inp.py:236-239); cuts null
+    #                                     collisions in broken-cloud scenes
     cam_xpos: float = 0.5              # camera position, domain fractions
     cam_ypos: float = 0.5              # (MCARaTS Rad_xpos/ypos)
     cam_qmax: float = 89.0             # fisheye half-angle [deg]

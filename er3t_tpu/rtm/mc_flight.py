@@ -111,6 +111,32 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
     sig_maj = scene.sig_maj
     kabs_min = jnp.min(scene.kabs, axis=1)
 
+    # per-tile majorant columns (MCARaTS Atm_mcs super-voxels, mca_inp.py:236):
+    # each (tile x tile)-column tile carries its own (Nz,) scattering majorant,
+    # so photons in clear tiles of a broken-cloud layer stop paying the
+    # cloud-peak null-collision rate.  Flights clamp at tile faces — exact,
+    # because surviving a clamped flight leaves the remaining optical-depth
+    # target Exp(1)-distributed again (memorylessness) and tau is resampled
+    # every iteration.
+    tile = cfg.tile_size
+    use_tiles = (tile > 0) and st.has_3d and not cfg.use_pallas
+    if use_tiles:
+        ntx = -(-nx_loc // tile)
+        nty = -(-st.ny // tile)
+        ext_p = jnp.pad(scene.ext3d, ((0, ntx * tile - nx_loc),
+                                      (0, nty * tile - st.ny), (0, 0)))
+        ext_t = ext_p.reshape(ntx, tile, nty, tile, st.nz3).max(axis=(1, 3))
+        maj_tile = jnp.concatenate([
+            jnp.broadcast_to(sig_1d[:st.iz3l], (ntx, nty, st.iz3l)),
+            sig_1d[st.iz3l:st.iz3l + st.nz3][None, None, :] + ext_t,
+            jnp.broadcast_to(sig_1d[st.iz3l + st.nz3:],
+                             (ntx, nty, nz - st.iz3l - st.nz3)),
+        ], axis=-1)
+        maj_tab = jnp.maximum(maj_tile, 1e-12).reshape(ntx * nty, nz)
+    else:
+        ntx = nty = 1
+        maj_tab = None
+
     sx, sy, mu_s = _sensor_dir(cfg)
 
     # packed voxel table: [ext, ssa, apf, cum_ext_above_voxel_top]
@@ -237,13 +263,32 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         else:
             uz_safe = jnp.where(jnp.abs(uz) < 1e-6, jnp.sign(uz + 1e-30) * 1e-6, uz)
             inv_uz = 1.0 / uz_safe
+            if use_tiles:
+                # only the deck z-range [iz3l, iz3l+nz3) varies horizontally,
+                # so gather the majorant of the tile at the flight's *deck
+                # entry point* and (below) clamp only at tile-face crossings
+                # that occur while inside the deck — flights that stay in 1D
+                # layers run unclamped whatever tiles they overfly
+                zd_lo, zd_hi = z_lev[st.iz3l], z_lev[st.iz3l + st.nz3]
+                t1 = (zd_lo - z) * inv_uz
+                t2 = (zd_hi - z) * inv_uz
+                sd_in = jnp.maximum(jnp.minimum(t1, t2), 0.0)
+                sd_out = jnp.maximum(jnp.maximum(t1, t2), 0.0)
+                xe_u = x + ux * sd_in
+                ye_u = y + uy * sd_in
+                offx = xe_u - xe_u % lx_glob   # ray-frame unwrap offsets
+                offy = ye_u - ye_u % ly
+                ixm, iym = col_index(xe_u % lx_glob, ye_u % ly, ix0, iy0, nscat)
+                sig_col = maj_tab[(ixm // tile) * nty + (iym // tile)]  # (B,Nz)
+            else:
+                sig_col = sig_maj[None, :]
             s_lo = (z_lev[None, :-1] - z[:, None]) * inv_uz[:, None]
             s_hi = (z_lev[None, 1:] - z[:, None]) * inv_uz[:, None]
             d_in = jnp.maximum(jnp.minimum(s_lo, s_hi), 0.0)
             d_out = jnp.maximum(jnp.maximum(s_lo, s_hi), 0.0)
             seg = jnp.maximum(d_out - d_in, 0.0)
 
-            od = seg * sig_maj[None, :]
+            od = seg * sig_col
             cum_up = jnp.cumsum(od, axis=1)
             cum_dn = jnp.cumsum(od[:, ::-1], axis=1)[:, ::-1]
             cum = jnp.where(going_up[:, None], cum_up, cum_dn)
@@ -255,7 +300,7 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
             l_col = jnp.clip(jnp.where(going_up, n_full, nz - 1 - n_full), 0, nz - 1)
             oh_col = (jax.lax.broadcasted_iota(jnp.int32, (B, nz), 1)
                       == l_col[:, None]).astype(_F)
-            sig_m = jnp.sum(oh_col * sig_maj[None, :], axis=1)
+            sig_m = jnp.sum(oh_col * sig_col, axis=1)
             cum_before = jnp.sum(od * full.astype(_F), axis=1)
             d_before = jnp.sum(seg * full.astype(_F), axis=1)
             s_col = d_before + (tau - cum_before) / sig_m
@@ -277,6 +322,32 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
             clamped = jnp.zeros(B, bool)
             face_x = x
 
+        if use_tiles and not st.ipa:
+            # clamp flights at the faces of the deck-entry tile, only while
+            # inside the deck z-range; disabled for pinned lanes (partial-3D
+            # high orders), whose medium no longer varies with position.
+            # Faces are unwrapped into the ray frame (offx/offy) so periodic
+            # wrapping cannot produce a face behind the origin.
+            txp, typ = ixm // tile, iym // tile
+            tx_lo = x_off + (txp * tile) * st.dx + offx
+            tx_hi = x_off + jnp.minimum((txp + 1) * tile, nx_loc) * st.dx + offx
+            ty_lo = (typ * tile) * st.dy + offy
+            ty_hi = jnp.minimum((typ + 1) * tile, st.ny) * st.dy + offy
+            sfx = jnp.where(ux > 1e-7, (tx_hi - x) / ux,
+                            jnp.where(ux < -1e-7, (tx_lo - x) / ux, 3e38))
+            sfy = jnp.where(uy > 1e-7, (ty_hi - y) / uy,
+                            jnp.where(uy < -1e-7, (ty_lo - y) / uy, 3e38))
+            s_tile = jnp.maximum(jnp.minimum(sfx, sfy), 0.0)
+            can_clamp = active & (s_tile < sd_out)
+            if cfg.p3d_order > 0:
+                can_clamp = can_clamp & (nscat < cfg.p3d_order)
+            tclamp = can_clamp & (s_tile < s_star)
+            s_star = jnp.where(tclamp, s_tile, s_star)
+            collided = collided & ~tclamp
+            clamped = clamped & ~tclamp
+        else:
+            tclamp = jnp.zeros(B, bool)
+
         # traveled path per layer, valid for collided/exit/clamped alike
         if cfg.use_pallas and slab is None:
             trav = trav_p
@@ -292,9 +363,18 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                 x = jnp.where(clamped,
                               (face_x + jnp.sign(ux) * eps_x) % lx_glob, x)
             y = jnp.where(active, (y + uy * s_star) % ly, y)
+            if use_tiles:
+                # place tile-clamped lanes robustly past the crossed face
+                cxt = tclamp & (sfx <= sfy)
+                cyt = tclamp & (sfy <= sfx)
+                xf = jnp.where(ux > 0, tx_hi, tx_lo)
+                yf = jnp.where(uy > 0, ty_hi, ty_lo)
+                x = jnp.where(cxt, (xf + jnp.sign(ux) * 1e-3 * st.dx)
+                              % lx_glob, x)
+                y = jnp.where(cyt, (yf + jnp.sign(uy) * 1e-3 * st.dy) % ly, y)
         z = jnp.where(active, jnp.clip(z + uz * s_star, 0.0, z_top), z)
-        hit_sfc = active & ~collided & ~clamped & ~going_up
-        exit_toa = active & ~collided & ~clamped & going_up
+        hit_sfc = active & ~collided & ~clamped & ~tclamp & ~going_up
+        exit_toa = active & ~collided & ~clamped & ~tclamp & going_up
         z = jnp.where(hit_sfc, 0.0, z)
 
         # vertical path per layer toward the sensor: above the event for a

@@ -115,7 +115,7 @@ def solve(atm=None, abs_coef=None, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
           sensor_zenith_angle=0.0, sensor_azimuth_angle=0.0,
           photons=1e6, n_run=3, date=None, seed=0, batch=None,
           spectral='correlated', flux_per_column=None, chunk=4_000_000,
-          forward_trunc_deg=None):
+          forward_trunc_deg=None, tile_size=0):
     """Run a full radiative-transfer simulation.
 
     Parameters mirror ``mcarats_ng`` (reference mcarats.py:62-231).
@@ -146,6 +146,7 @@ def solve(atm=None, abs_coef=None, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
         sensor_zenith=float(sensor_zenith_angle),
         sensor_azimuth=float(sensor_azimuth_angle),
         flux_per_column=bool(flux_per_column),
+        tile_size=int(tile_size),
     )
 
     mu0 = float(np.cos(np.deg2rad(solar_zenith_angle)))

@@ -60,3 +60,35 @@ def test_result_h5_roundtrip(atm, tmp_path):
     np.testing.assert_allclose(back['f_up'], res['f_up'])
     assert back.n_run == 2
     assert 'f_up_std' in back.std
+
+
+def test_tile_majorant_equivalence(atm):
+    """Per-tile majorants (SolverConfig.tile_size, the counterpart of
+    MCARaTS Atm_mcs super-voxels) must leave radiance expectation unchanged;
+    they only change the null-collision/tile-crossing event mix."""
+    from er3t_tpu.pre.abs import abs_synthetic
+    from er3t_tpu.pre.cld import cld_gen_hem
+    from er3t_tpu.rtm.scene import build_scene
+    from er3t_tpu.rtm.mc import SolverConfig
+    from er3t_tpu.rtm.mc_flight import run_transport_flight
+
+    atm_f = atm_atmmod(np.concatenate([np.arange(0, 3.0, 0.5),
+                                       np.arange(3.0, 20.1, 2.0)]))
+    ab = abs_synthetic(650.0, atm_f)
+    cld = cld_gen_hem(nx=32, ny=32, nz=4, dx=0.2, dy=0.2, dz=0.5,
+                      cloud_frac_tgt=0.3, radii=(0.8, 1.6), cot_scale=12.0,
+                      cloud_base=0.5, seed=3)
+    scene, st = build_scene(atm_f, ab, cld=cld, surface=0.05,
+                            solar_zenith_angle=30.0, solar_azimuth_angle=45.0)
+    n = 300_000
+    out = {}
+    for ts in (0, 8):
+        cfg = SolverConfig(target='radiance', batch=1 << 13, tile_size=ts,
+                           n_scat_max=500)
+        t = run_transport_flight(scene, st, cfg, n, seed=11,
+                                 rng_impl='threefry2x32')
+        out[ts] = (np.asarray(t.rad) @ ab.weight) / int(t.n_launched)
+    # domain mean and cloudy-region mean agree within MC noise
+    assert out[8].mean() == pytest.approx(out[0].mean(), rel=0.03)
+    hi = out[0] > np.percentile(out[0], 75)
+    assert out[8][hi].mean() == pytest.approx(out[0][hi].mean(), rel=0.05)
