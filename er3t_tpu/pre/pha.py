@@ -47,6 +47,13 @@ class PhaseTable:
         the scene builder rescales extinction/ssa accordingly
         (similarity relations: ext' = ext (1 - ssa f),
         ssa' = ssa (1-f)/(1 - ssa f))
+    p_tms : (Npf, Nm) TMS-corrected eval rows, P_full(mu)/(1-f): with the
+        delta-scaled scattering coefficient sigma_s' = sigma_s (1-f), a
+        first-order local estimate evaluated with P_full/(1-f) reproduces the
+        exact Nakajima-Tanaka single-scatter integrand under scaled
+        transmissions — this is what lets the solver run MCARaTS's default
+        20-deg truncation (Sca_qtfmax, mca_inp.py:52-54) at radiance-grade
+        accuracy.  Equal to p_eval where trunc_f = 0.
     """
     mu_sample: np.ndarray
     p_eval: np.ndarray
@@ -54,6 +61,7 @@ class PhaseTable:
     ssa: np.ndarray
     reff: np.ndarray
     trunc_f: np.ndarray | None = None
+    p_tms: np.ndarray | None = None
 
     @property
     def n_pf(self) -> int:
@@ -76,13 +84,27 @@ def _invert_cdf(ang_deg: np.ndarray, pha: np.ndarray, n_u: int) -> np.ndarray:
 
 
 def _eval_grid(ang_deg: np.ndarray, pha: np.ndarray, n_m: int) -> np.ndarray:
+    """Bin-averaged P on the uniform mu grid used by nearest-bin lookup.
+
+    Bin averages (rather than point samples) keep the kernel's nearest-bin
+    local estimates unbiased when the row has sub-bin structure — a point
+    sample at mu = 1 would return the Mie diffraction-peak *maximum* for
+    every scattering angle within half a bin of forward, a ~10% radiance
+    overestimate for reff ~ 10 um clouds.  Normalization (int P dmu = 2)
+    uses the source grid, which is fine near 0/180 deg.
+    """
     mu = np.cos(np.deg2rad(ang_deg))
     order = np.argsort(mu)
     mu_s, p_s = mu[order], pha[order]
+    norm = np.trapezoid(p_s, mu_s)
     mu_grid = np.linspace(-1.0, 1.0, n_m)
-    p = np.interp(mu_grid, mu_s, p_s)
-    # renormalize on the uniform grid so the kernel's estimates are unbiased
-    norm = np.trapezoid(p, mu_grid)
+    edges = np.empty(n_m + 1)
+    edges[1:-1] = 0.5 * (mu_grid[1:] + mu_grid[:-1])
+    edges[0], edges[-1] = -1.0, 1.0
+    seg = 0.5 * (p_s[1:] + p_s[:-1]) * np.diff(mu_s)
+    cum = np.concatenate([[0.0], np.cumsum(seg)])
+    cum_e = np.interp(edges, mu_s, cum)
+    p = np.diff(cum_e) / np.diff(edges)
     return 2.0 * p / norm
 
 
@@ -168,6 +190,7 @@ def build_phase_table(pha_obj=None, n_u: int = 8192, n_m: int = 4096,
 
     mu_sample = np.zeros((n_pf + 1, n_u), dtype=np.float32)
     p_eval = np.zeros((n_pf + 1, n_m), dtype=np.float32)
+    p_tms = np.zeros((n_pf + 1, n_m), dtype=np.float32)
     trunc_f = np.zeros(n_pf + 1, dtype=np.float32)
 
     # slot 0: Rayleigh placeholder (kernel samples Rayleigh analytically but
@@ -180,6 +203,7 @@ def build_phase_table(pha_obj=None, n_u: int = 8192, n_m: int = 4096,
 
     for i in range(n_pf):
         ang_i, pha_i = ang, pha[:, i]
+        f_i = 0.0
         if forward_trunc_deg is not None and forward_trunc_deg > 0:
             mu = np.cos(np.deg2rad(ang_i))
             order = np.argsort(mu)
@@ -189,13 +213,19 @@ def build_phase_table(pha_obj=None, n_u: int = 8192, n_m: int = 4096,
             peak = mu_s >= mu_t
             f = np.trapezoid(np.where(peak, p_s, 0.0), mu_s) / 2.0
             trunc_f[i + 1] = f
+            f_i = f
             # remove the peak, renormalize over the remaining range
             p_cut = np.where(peak, 0.0, p_s) / max(1.0 - f, 1e-6)
             ang_i = np.rad2deg(np.arccos(np.clip(mu_s[::-1], -1, 1)))
             pha_i = p_cut[::-1]
         mu_sample[i + 1] = _invert_cdf(ang_i, pha_i, n_u)
         p_eval[i + 1] = _eval_grid(ang_i, pha_i, n_m)
+        # TMS row: full phase / (1-f) (Nakajima & Tanaka 1988); equals the
+        # working row when f = 0
+        p_tms[i + 1] = (_eval_grid(ang, pha[:, i], n_m) / max(1.0 - f_i, 1e-6)
+                        if f_i > 0 else p_eval[i + 1])
 
+    p_tms[0] = p_eval[0]
     return PhaseTable(
         mu_sample=mu_sample,
         p_eval=p_eval,
@@ -203,4 +233,5 @@ def build_phase_table(pha_obj=None, n_u: int = 8192, n_m: int = 4096,
         ssa=np.concatenate([[1.0], ssa]).astype(np.float32),
         reff=np.concatenate([[0.0], ref]).astype(np.float32),
         trunc_f=trunc_f,
+        p_tms=p_tms,
     )

@@ -263,12 +263,15 @@ def transport(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         iy = jnp.floor(yp / st.dy).astype(jnp.int32) % nyr
         return ix * nyr + iy
 
-    def phase_eval(apf, mu):
+    def phase_eval(apf, mu, first=None):
         """P(mu) for phase row ``apf`` (0 = Rayleigh, analytic);
-        nearest-bin lookup (one gather)."""
+        nearest-bin lookup (one gather).  ``first`` selects the TMS half of
+        the eval table (exact single scattering under delta-truncation)."""
+        n_pf_ = scene.pt_mu.shape[0]
+        row = apf if first is None else apf + jnp.where(first, n_pf_, 0)
         i0 = jnp.clip((((mu + 1.0) * 0.5 * (n_m - 1)) + 0.5).astype(jnp.int32),
                       0, n_m - 1)
-        p_tab = jnp.take(scene.pt_p.reshape(-1), apf * n_m + i0)
+        p_tab = jnp.take(scene.pt_p.reshape(-1), row * n_m + i0)
         return jnp.where(apf == 0, 0.75 * (1.0 + mu * mu), p_tab)
 
     def phase_sample(apf, u):
@@ -378,7 +381,7 @@ def transport(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         # ---------------- radiance local estimate ----------------
         if radiance:
             mu_sc = ux * sx + uy * sy + uz * mu_s
-            pval = phase_eval(apf, mu_sc)
+            pval = phase_eval(apf, mu_sc, first=direct)
             tsens = sensor_trans(x, y, z, l, ix, iy, S)
             contrib = (wsc * ssa_ev * pval / (4.0 * jnp.pi * mu_s))[:, None] * tsens
             pidx = rad_pixel(x, y, z, ix0, iy0)

@@ -191,10 +191,14 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
             return jnp.where(pin, ix0, ixl), jnp.where(pin, iy0, iyl)
         return ixl, iyl
 
-    def phase_eval(apf, mu):
+    def phase_eval(apf, mu, first=None):
+        """P(mu) local-estimate row; ``first`` (nscat==0) selects the TMS
+        half of the table — exact Nakajima-Tanaka single scattering under
+        delta-truncation (see pre/pha.py PhaseTable.p_tms)."""
+        row = apf if first is None else apf + jnp.where(first, n_pf, 0)
         i0 = jnp.clip((((mu + 1.0) * 0.5 * (n_m - 1)) + 0.5).astype(jnp.int32),
                       0, n_m - 1)
-        p_tab = jnp.take(pt_p_flat, apf * n_m + i0)
+        p_tab = jnp.take(pt_p_flat, row * n_m + i0)
         return jnp.where(apf == 0, 0.75 * (1.0 + mu * mu), p_tab)
 
     def phase_sample(apf, u):
@@ -449,7 +453,7 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
             r_cam = jnp.maximum(r_cam, cfg.cam_rmin)
             wsx_c, wsy_c, wsz_c = dxs / r_cam, dys / r_cam, -z / r_cam
             mu_sc = ux * wsx_c + uy * wsy_c + uz * wsz_c
-            pval = phase_eval(apf, mu_sc)
+            pval = phase_eval(apf, mu_sc, first=nscat == 0)
             if st.has_3d:
                 tau3_below = jnp.where(
                     l_col < st.iz3l, 0.0,
@@ -475,7 +479,7 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                               .astype(jnp.int32), 0, nyr - 1)
         else:
             mu_sc = ux * sx + uy * sy + uz * mu_s
-            pval = phase_eval(apf, mu_sc)
+            pval = phase_eval(apf, mu_sc, first=nscat == 0)
             t_sens = jnp.exp(labs[:, :ng] - tau_sens_abs
                              - (tau_sens_sig + tau3_above)[:, None])
             c_vol = (wsc * ssa_ev * pval / (4.0 * jnp.pi * mu_s))[:, None] * t_sens

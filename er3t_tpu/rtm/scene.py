@@ -53,7 +53,8 @@ class SceneArrays(NamedTuple):
     ssa3d: jnp.ndarray        # (Nx, Ny, Nz3)
     apf3d: jnp.ndarray        # (Nx, Ny, Nz3) int32 phase rows
     pt_mu: jnp.ndarray        # (Npf, Nu) inverse-CDF sampling LUT
-    pt_p: jnp.ndarray         # (Npf, Nm) P(mu) eval LUT
+    pt_p: jnp.ndarray         # (2*Npf, Nm) P(mu) eval LUT: working rows,
+    #                           then TMS rows (first-order local estimates)
     jsfc: jnp.ndarray         # (Nxs, Nys) int32 surface type
     psfc: jnp.ndarray         # (Nxs, Nys, 5) surface params
     mu0: jnp.ndarray          # () cosine of solar zenith angle
@@ -163,6 +164,8 @@ def build_scene(atm, abs_coef, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
                 asy=np.concatenate([table.asy, aer_tab.asy[1:]]),
                 ssa=np.concatenate([table.ssa, aer_tab.ssa[1:]]),
                 reff=np.concatenate([table.reff, aer_tab.reff[1:]]),
+                trunc_f=np.concatenate([table.trunc_f, aer_tab.trunc_f[1:]]),
+                p_tms=np.concatenate([table.p_tms, aer_tab.p_tms[1:]], axis=0),
             )
         aer_apf_row = table.n_pf - 1
 
@@ -229,7 +232,12 @@ def build_scene(atm, abs_coef, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
         ssa3d=jnp.asarray(ssa3d),
         apf3d=jnp.asarray(apf3d),
         pt_mu=jnp.asarray(table.mu_sample),
-        pt_p=jnp.asarray(table.p_eval),
+        # rows [0, Npf) = working (possibly truncated) eval rows;
+        # rows [Npf, 2 Npf) = TMS rows for first-order local estimates
+        pt_p=jnp.asarray(np.concatenate(
+            [table.p_eval,
+             table.p_tms if table.p_tms is not None else table.p_eval],
+            axis=0)),
         jsfc=jnp.asarray(sfc.jsfc, dtype=jnp.int32),
         psfc=jnp.asarray(sfc.psfc, dtype=jnp.float32),
         mu0=jnp.asarray(np.cos(sza), dtype=jnp.float32),

@@ -115,3 +115,48 @@ def test_sol_fac_range():
     f_jul = solar.sol_fac(datetime.datetime(2019, 7, 4))
     assert f_jan == pytest.approx(1.034, abs=0.002)   # perihelion
     assert f_jul == pytest.approx(0.967, abs=0.002)   # aphelion
+
+
+def test_legendre_moment_roundtrip():
+    """pmom machinery (reference pha_mie.py:229-376): HG moments are g^l;
+    reconstruction matches the analytic phase; the series integral over the
+    full range is 2."""
+    import numpy as np
+    from er3t_tpu.pre.pmom import (phase2mom, legendre2phase, mom2phase,
+                                   mom2phaseint)
+    from er3t_tpu.physics.hg import hg_phase
+
+    g = 0.7
+    ang = np.linspace(0.0, 180.0, 3601)
+    mu = np.cos(np.deg2rad(ang))
+    p = hg_phase(g, mu)
+    mom = phase2mom(ang, p, 64)
+    np.testing.assert_allclose(mom[:8], g ** np.arange(8), atol=2e-4)
+    # reconstruction without delta scaling matches analytic HG
+    p_rec = legendre2phase(mom, angle=ang, deltascaling=False)
+    sel = ang > 5.0
+    np.testing.assert_allclose(p_rec[sel], p[sel], rtol=2e-2, atol=5e-3)
+    # mom2phase recurrence agrees with legval path
+    w = mom * (2.0 * np.arange(mom.size) + 1.0)
+    np.testing.assert_allclose(mom2phase(w, mu[::100]),
+                               np.polynomial.legendre.legval(mu[::100], w),
+                               rtol=1e-10)
+    # integral of P over [-1, 1] is 2
+    np.testing.assert_allclose(mom2phaseint(w, np.array([-1.0])), 2.0,
+                               rtol=1e-5)
+
+
+def test_pha_mie_wc_pmom():
+    import numpy as np
+    from er3t_tpu.pre.pmom import pha_mie_wc_pmom
+    obj = pha_mie_wc_pmom(650.0, n_mom=256,
+                          reff_grid=np.array([5.0, 10.0]))
+    assert obj.data['pmom'].shape == (2, 256)
+    np.testing.assert_allclose(obj.data['pmom'][:, 0], 1.0, atol=1e-3)
+    # first moment = asymmetry parameter
+    np.testing.assert_allclose(obj.data['pmom'][:, 1], obj.data['asy'],
+                               atol=5e-3)
+    # reconstructed phase is usable by the table compiler
+    from er3t_tpu.pre.pha import build_phase_table
+    t = build_phase_table(obj, forward_trunc_deg=20.0)
+    assert t.n_pf == 3 and np.all(t.trunc_f[1:] >= 0)
