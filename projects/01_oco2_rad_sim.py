@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""OCO-2 O2 A-band radiance simulation — twin of projects/01_oco2_rad-sim.py.
+
+Reference pipeline (/root/reference/projects/01_oco2_rad-sim.py:1518-1771):
+main_pre (granule download + COT/CER retrieval at 250 m) -> main_sim
+(cal_mca_rad: abs_oco_idl O2 A-band k-distribution, 2D surface, cld_gen_cop
+cloud, MCARaTS 3D vs IPA) -> main_post (simulated vs OCO-2 L1B comparison).
+
+Here the same pipeline runs in-framework: the O2 A-band k-distribution comes
+from an IDL save when provided (--idl, er3t_tpu.pre.abs_oco) or the
+database-free synthetic generator; the ocean surface is typed Cox-Munk
+sun glint (the reference's DSM type); 3D and IPA runs share one scene.
+
+    python projects/01_oco2_rad_sim.py --photons 1e6
+    python projects/01_oco2_rad_sim.py --l1b oco2_L1bScND_*.h5 \
+           --idl o2a_v1.out --extent -60.5 -59.5 14.5 15.5
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from er3t_tpu.pre.atm import atm_atmmod
+from er3t_tpu.pre.abs import abs_synthetic
+from er3t_tpu.pre.cld import cld_gen_cop
+from er3t_tpu.pre.pha import pha_mie_wc
+from er3t_tpu.pre.sfc import sfc_ocean
+from er3t_tpu.rtm import solver
+from er3t_tpu.util.logger import get_logger
+
+LOG = get_logger()
+
+
+def main_pre(args):
+    """Granule -> along-track COT/CER maps (or a synthetic scene)."""
+    if args.l1b:
+        from er3t_tpu.sat.oco2 import oco2_rad_nadir
+        obj = oco2_rad_nadir(args.l1b)
+        rad = obj.data['rad']['data']            # (Nsound, 8 footprints)
+        LOG.framework(f'OCO-2 L1B: {rad.shape[0]} soundings')
+        # continuum-normalized reflectance -> COT first guess via the
+        # IPA curve (reference cdata_cld_ipa, 01_oco2_rad-sim.py:1712-1737)
+        atm = atm_atmmod(np.concatenate([np.arange(0, 3.0, 0.5),
+                                 np.arange(3.0, 20.1, 1.0)]))
+        from er3t_tpu.apps.lut import func_ref_vs_cot
+        curve = func_ref_vs_cot(atm, wavelength=args.wavelength,
+                                solar_zenith_angle=args.sza,
+                                photons=args.photons / 10)
+        mu0 = np.cos(np.deg2rad(args.sza))
+        ref = rad * np.pi / (curve.__dict__.get('toa', 1.0) * mu0)
+        n = min(args.nx * args.nx, ref.size)
+        cot = np.zeros(args.nx * args.nx)
+        cot[:n] = curve.get_cot_from_ref(np.clip(ref.ravel()[:n], 0, None))
+        cot = cot.reshape(args.nx, args.nx)
+    else:
+        LOG.framework('no granule given; synthesizing a broken-cloud track')
+        rng = np.random.default_rng(27)
+        nx = args.nx
+        cot = np.zeros((nx, nx))
+        ii, jj = np.meshgrid(np.arange(nx), np.arange(nx), indexing='ij')
+        for _ in range(10):
+            i, j = rng.integers(4, nx - 4, 2)
+            r = rng.integers(2, 7)
+            cot[(ii - i) ** 2 + (jj - j) ** 2 <= r ** 2] = rng.uniform(3, 25)
+    cer = np.where(cot > 0, 12.0, 0.0)
+    return cot, cer
+
+
+def main_sim(cot, cer, args):
+    """3D + IPA O2 A-band radiance over a Cox-Munk ocean."""
+    atm = atm_atmmod(np.concatenate([np.arange(0, 3.0, 0.5),
+                                 np.arange(3.0, 20.1, 1.0)]))
+    if args.idl:
+        from er3t_tpu.pre.abs_oco import abs_oco_idl
+        ab = abs_oco_idl(args.wavelength, atm, args.idl)
+        LOG.framework(f'abs_oco_idl: {ab.ng} g at {ab.wvl:.2f} nm')
+    else:
+        ab = abs_synthetic(args.wavelength, atm)
+        LOG.framework(f'synthetic A-band k-distribution at {ab.wvl:.1f} nm')
+
+    cld = cld_gen_cop(cot, cer, np.where(cot > 0, 2.0, 0.0),
+                      dx=args.dx, dy=args.dx, dz=0.5)
+    pha = pha_mie_wc(args.wavelength)
+    sfc = sfc_ocean(wvl=args.wavelength, u10=args.u10)
+
+    out = {}
+    for mode in ('3d', 'ipa'):
+        res = solver.solve(
+            atm=atm, abs_coef=ab, cld=cld, pha=pha, surface=sfc,
+            target='radiance', solver=mode, forward_trunc_deg=20.0,
+            tile_size=16, solar_zenith_angle=args.sza,
+            solar_azimuth_angle=45.0, photons=args.photons, n_run=1,
+            seed=11)
+        out[mode] = res['rad'][..., 0] if res['rad'].ndim == 3 else res['rad']
+        LOG.framework(f'{mode}: mean radiance {out[mode].mean():.4f}')
+    return out
+
+
+def main_post(cot, out, args):
+    os.makedirs(args.outdir, exist_ok=True)
+    track = out['3d'][:, out['3d'].shape[1] // 2]
+    track_ipa = out['ipa'][:, out['ipa'].shape[1] // 2]
+    try:
+        import matplotlib
+        matplotlib.use('Agg')
+        import matplotlib.pyplot as plt
+        fig, (a0, a1) = plt.subplots(1, 2, figsize=(11, 4))
+        im = a0.imshow(out['3d'].T, origin='lower', cmap='viridis')
+        fig.colorbar(im, ax=a0, label='radiance')
+        a0.set_title(f'O2 A-band 3D radiance ({args.wavelength:.1f} nm)')
+        a1.plot(track, label='3D')
+        a1.plot(track_ipa, label='IPA', ls='--')
+        a1.set_xlabel('along-track pixel')
+        a1.set_ylabel('radiance')
+        a1.legend()
+        a1.set_title('nadir track: 3D vs IPA')
+        fig.tight_layout()
+        fn = os.path.join(args.outdir, 'oco2_aband_rad.png')
+        fig.savefig(fn, dpi=130)
+        LOG.framework(f'saved {fn}')
+    except Exception as e:                        # headless-safe
+        LOG.framework(f'plotting skipped: {e}')
+    np.savez(os.path.join(args.outdir, 'oco2_aband_rad.npz'),
+             cot=cot, rad_3d=out['3d'], rad_ipa=out['ipa'])
+    return track, track_ipa
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument('--l1b', default='', help='OCO-2 L1bScND granule (.h5)')
+    ap.add_argument('--idl', default='', help='O2 A-band k-dist IDL save')
+    ap.add_argument('--extent', nargs=4, type=float,
+                    default=[-60.5, -59.5, 14.5, 15.5])
+    ap.add_argument('--wavelength', type=float, default=768.5)
+    ap.add_argument('--photons', type=float, default=1e6)
+    ap.add_argument('--nx', type=int, default=64)
+    ap.add_argument('--dx', type=float, default=0.25)
+    ap.add_argument('--sza', type=float, default=30.0)
+    ap.add_argument('--u10', type=float, default=5.0, help='wind speed m/s')
+    ap.add_argument('--outdir', default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), 'output', '01'))
+    args = ap.parse_args()
+
+    cot, cer = main_pre(args)
+    out = main_sim(cot, cer, args)
+    main_post(cot, out, args)
+
+
+if __name__ == '__main__':
+    main()
