@@ -50,7 +50,11 @@ def reduce_flux(tally_flux: np.ndarray, n_launched: int, abs_coef, mu0: float,
     """
     nlev = tally_flux.shape[2]
     factors, toa = spectral_factors(abs_coef, date=date, nz_out=nlev)
-    raw = tally_flux * (mu0 / max(n_launched, 1))               # (..., Nlev, 3, Ng)
+    # per-column tallies: each of the Nxf*Nyf columns receives an equal share
+    # of the uniformly-spawned photon budget, so per-area normalization is
+    # (Nxf*Nyf)/N (reference counterpart: MCARaTS normalizes per grid cell)
+    n_col = tally_flux.shape[0] * tally_flux.shape[1]
+    raw = tally_flux * (mu0 * n_col / max(n_launched, 1))       # (..., Nlev, 3, Ng)
     phys = np.einsum('xyzcg,zg->xyzc', raw, factors)
     out = {
         'f_down_direct': phys[..., 0],

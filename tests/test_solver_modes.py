@@ -92,3 +92,24 @@ def test_tile_majorant_equivalence(atm):
     assert out[8].mean() == pytest.approx(out[0].mean(), rel=0.03)
     hi = out[0] > np.percentile(out[0], 75)
     assert out[8][hi].mean() == pytest.approx(out[0][hi].mean(), rel=0.05)
+
+
+def test_flux_per_column_normalization(atm):
+    """Per-column fluxes must have the same physical magnitude as the
+    domain-average fluxes (regression: per-column tallies were low by the
+    column count)."""
+    from er3t_tpu.pre.abs import abs_synthetic
+    from er3t_tpu.pre.cld import cld_gen_hom
+    ab = abs_synthetic(650.0, atm)
+    cld = cld_gen_hom(nx=4, ny=4, dx=1.0, dy=1.0, cot0=4.0, cer0=10.0,
+                      cloud_base=1.0, cloud_top=2.0)
+    kw = dict(atm=atm, abs_coef=ab, cld=cld, surface=0.2, target='flux',
+              solar_zenith_angle=30.0, photons=120000, n_run=1,
+              batch=1 << 12, seed=6)
+    r_col = solver.solve(flux_per_column=True, **kw)
+    r_dom = solver.solve(flux_per_column=False, **kw)
+    # TOA down-direct is deterministic: E(650) * mu0 in every column
+    np.testing.assert_allclose(r_col['f_down_direct'][:, :, -1],
+                               r_dom['f_down_direct'][0, 0, -1], rtol=1e-3)
+    assert r_col['f_down'][..., 0].mean() == pytest.approx(
+        float(r_dom['f_down'][0, 0, 0]), rel=0.05)
