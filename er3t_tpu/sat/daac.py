@@ -180,3 +180,68 @@ def worldview_image_url(date: datetime.date, extent, layer='MODIS_Terra_Correcte
     return ('https://wvs.earthdata.nasa.gov/api/v1/snapshot?request=GetSnapshot'
             f'&time={date:%Y-%m-%d}&bbox={lat0},{lon0},{lat1},{lon1}'
             f'&layers={layer}&format=image/png&width={w}&height={h}')
+
+
+def lance_url(date: datetime.date, dataset_tag: str, granule: str,
+              server='https://nrt3.modaps.eosdis.nasa.gov',
+              fdir_prefix='/archives/allData') -> str:
+    """LANCE near-real-time archive URL (reference download_lance_https,
+    daac.py:1390): dataset_tag like '61/MYD06_L2'."""
+    doy = date.timetuple().tm_yday
+    return f'{server}{fdir_prefix}/{dataset_tag}/{date.year}/{doy:03d}/{granule}'
+
+
+def download_lance_https(date: datetime.date, dataset_tag: str,
+                         filename_tag: str, lon=0.0, lat=0.0, fdir_out='.',
+                         token=None, geometa_text=None, run=True):
+    """Download LANCE NRT granules over (lon, lat) matching a filename tag;
+    with run=False returns the target URLs only (offline-testable with
+    ``geometa_text``)."""
+    product = dataset_tag.split('/')[-1]
+    grans = find_granules(product, date, lon, lat, geometa_text=geometa_text)
+    urls = [lance_url(date, dataset_tag, g['granule']) for g in grans
+            if filename_tag in g['granule']]
+    if not run:
+        return urls
+    return [download_url(u, fdir_out, token=token) for u in urls]
+
+
+def nsidc_url(date: datetime.date, product: str, version: str, granule: str,
+              server='https://n5eil01u.ecs.nsidc.org') -> str:
+    """NSIDC archive URL (reference download_nsidc_https, daac.py:1514):
+    e.g. product 'MOD29', version '61'."""
+    sat_dir = {'MOD': 'MOST', 'MYD': 'MOSA', 'VNP': 'VIIRS',
+               'VJ1': 'VIIRS'}.get(granule[:3], 'MOST')
+    return (f'{server}/{sat_dir}/{product}.{version.zfill(3)}/'
+            f'{date:%Y.%m.%d}/{granule}')
+
+
+def oco2_url(dtime: datetime.datetime, dataset_tag: str, granule: str,
+             server='https://oco2.gesdisc.eosdis.nasa.gov',
+             fdir_prefix='/data/OCO2_DATA') -> str:
+    """OCO-2 GES DISC archive URL (reference download_oco2_https,
+    daac.py:1629): dataset_tag like 'OCO2_L2_Standard.11r'."""
+    doy = dtime.timetuple().tm_yday
+    return (f'{server}{fdir_prefix}/{dataset_tag}/{dtime.year}/{doy:03d}/'
+            f'{granule}')
+
+
+def final_file_check(fname: str, data_format=None, verbose=False) -> bool:
+    """Post-download validity check (reference final_file_check,
+    daac.py:498): non-empty + openable by the matching backend."""
+    import os
+    if not os.path.isfile(fname) or os.path.getsize(fname) == 0:
+        return False
+    fmt = data_format or fname.rsplit('.', 1)[-1].lower()
+    try:
+        if fmt in ('h5', 'he5', 'hdf5', 'nc', 'nc4', 'hdf', 'h4'):
+            from ..util.ncio import open_any
+            open_any(fname).close()
+        elif fmt == 'out':
+            from scipy.io import readsav
+            readsav(fname)
+        return True
+    except Exception as e:
+        if verbose:
+            print(f'final_file_check: {fname}: {e}')
+        return False

@@ -20,7 +20,10 @@ from ..util.grid import grid_by_extent
 from ..util.ncio import apply_scaling, open_any
 
 __all__ = ['modis_03', 'modis_l1b', 'modis_l2', 'modis_35_l2', 'modis_04',
-           'modis_09', 'modis_43a3', 'modis_43a1']
+           'modis_09', 'modis_09a1', 'modis_43a3', 'modis_43a1', 'modis_07',
+           'modis_29', 'modis_mvcm_cldmsk_l2', 'modis_tiff',
+           'upscale_modis_lonlat', 'get_sinusoidal_grid_tag',
+           'cal_sinusoidal_grid', 'sinusoidal_xy']
 
 # MODIS band center wavelengths [nm] for the L1B logic
 # (reference: er3t/util/modis.py:257-331)
@@ -299,3 +302,230 @@ class modis_43a1:
         return np.stack([np.nan_to_num(self.data['f_iso']['data']),
                          np.nan_to_num(self.data['f_geo']['data']),
                          np.nan_to_num(self.data['f_vol']['data'])], axis=-1)
+
+
+class modis_07:
+    """MOD07/MYD07 atmospheric profiles (reference modis.py:1756).
+
+    data keys: lon, lat, p_level, cld_mask, T_level_retrieved,
+    dewT_level_retrieved, wvmx_level_retrieved, h_sfc, p_sfc, sza/saa/vza/vaa.
+    """
+
+    ID = 'MODIS Atmospheric Profiles'
+
+    _VARS = {
+        'cld_mask': 'Cloud_Mask',
+        'T_level_retrieved': 'Retrieved_Temperature_Profile',
+        'dewT_level_retrieved': 'Retrieved_Moisture_Profile',
+        'wvmx_level_retrieved': 'Retrieved_WV_Mixing_Ratio_Profile',
+        'h_sfc': 'Surface_Elevation',
+        'p_sfc': 'Surface_Pressure',
+        'sza': 'Solar_Zenith',
+        'saa': 'Solar_Azimuth',
+        'vza': 'Sensor_Zenith',
+        'vaa': 'Sensor_Azimuth',
+    }
+
+    def __init__(self, fnames=None, extent=None):
+        self.extent = extent
+        acc = {k: [] for k in ('lon', 'lat', *self._VARS)}
+        for fname in np.atleast_1d(fnames):
+            f = open_any(fname)
+            try:
+                lon, _ = f.var('Longitude')
+                lat, _ = f.var('Latitude')
+                sel = _subset(lon, lat, extent)
+                acc['lon'].append(np.asarray(lon)[sel])
+                acc['lat'].append(np.asarray(lat)[sel])
+                for key, var in self._VARS.items():
+                    try:
+                        d, a = f.var(var)
+                    except Exception:
+                        continue
+                    d = apply_scaling(d, a)
+                    if d.ndim == 3:       # (level, y, x) profile variables
+                        acc[key].append(np.moveaxis(d, 0, -1)[sel])
+                    else:
+                        acc[key].append(np.asarray(d)[sel])
+                try:
+                    p_lev, _ = f.var('Pressure_Levels')
+                except Exception:
+                    p_lev = None
+            finally:
+                f.close()
+        self.data = {k: _entry(np.concatenate(v) if v else np.array([]),
+                               k) for k, v in acc.items()}
+        self.data['lon']['units'] = self.data['lat']['units'] = 'deg'
+        if p_lev is not None:
+            self.data['p_level'] = _entry(np.asarray(p_lev), 'Pressure Level',
+                                          'hPa')
+
+
+class modis_29:
+    """MOD29/MYD29 sea-ice extent + ice-surface temperature
+    (reference modis.py:2080)."""
+
+    ID = 'MODIS Sea Ice Extent 5-Min L2 Swath 1km'
+
+    def __init__(self, fname, f03=None, extent=None):
+        f = open_any(fname)
+        try:
+            try:
+                lon, _ = f.var('Longitude')
+                lat, _ = f.var('Latitude')
+            except Exception:
+                if f03 is None:
+                    raise ValueError('modis_29 needs 1-km geolocation: pass '
+                                     'a modis_03 object as f03')
+                lon = f03.data['lon']['data']
+                lat = f03.data['lat']['data']
+            sel = _subset(np.asarray(lon), np.asarray(lat), extent)
+            d_ice, a_ice = f.var('Sea_Ice_by_Reflectance')
+            d_t, a_t = f.var('Ice_Surface_Temperature')
+            ist = apply_scaling(d_t, a_t)
+            self.data = {
+                'lon': _entry(np.asarray(lon)[sel], 'Longitude', 'deg'),
+                'lat': _entry(np.asarray(lat)[sel], 'Latitude', 'deg'),
+                'ice_extent': _entry(np.asarray(d_ice)[sel],
+                                     'Sea Ice by Reflectance'),
+                'ist': _entry(ist[sel], 'Ice Surface Temperature', 'K'),
+            }
+        finally:
+            f.close()
+
+
+class modis_09a1:
+    """MOD09A1/MYD09A1 8-day gridded surface reflectance (sinusoidal tile;
+    reference modis.py:1954): per-band alb on the tile grid."""
+
+    ID = 'MODIS Surface Reflectance 8-Day L3 Global 500m'
+
+    def __init__(self, fnames, band=1, extent=None):
+        albs = []
+        for fname in np.atleast_1d(fnames):
+            f = open_any(fname)
+            try:
+                d, a = f.var(f'sur_refl_b{band:02d}')
+                alb = apply_scaling(d, a)
+                alb = np.where((alb >= 0) & (alb <= 1.6), alb, np.nan)
+                albs.append(alb)
+            finally:
+                f.close()
+        alb = np.concatenate([a[None] for a in albs]).squeeze(0) \
+            if len(albs) == 1 else np.nanmean(np.stack(albs), axis=0)
+        self.data = {
+            'alb_2d': _entry(np.nan_to_num(alb), 'Surface reflectance'),
+            'band': _entry(band, 'MODIS band'),
+        }
+
+
+class modis_mvcm_cldmsk_l2:
+    """CLDMSK_L2 continuity MODIS-VIIRS cloud mask (netCDF;
+    reference modis.py:1079): Integer_Cloud_Mask 0..3."""
+
+    ID = 'MODIS MVCM Continuity Cloud Mask 5-Min Swath 1 km'
+
+    def __init__(self, fname, extent=None):
+        f = open_any(fname)
+        try:
+            lon, _ = f.var('geolocation_data/longitude')
+            lat, _ = f.var('geolocation_data/latitude')
+            msk, _ = f.var('geophysical_data/Integer_Cloud_Mask')
+            sel = _subset(np.asarray(lon), np.asarray(lat), extent)
+            self.data = {
+                'lon': _entry(np.asarray(lon)[sel], 'Longitude', 'deg'),
+                'lat': _entry(np.asarray(lat)[sel], 'Latitude', 'deg'),
+                'cld_msk': _entry(np.asarray(msk)[sel],
+                                  'Integer Cloud Mask '
+                                  '(0=cloudy 1=prob.cloudy 2=prob.clear 3=clear)'),
+            }
+        finally:
+            f.close()
+
+
+class modis_tiff:
+    """GeoTIFF quicklook reader (reference modis.py:2474); requires PIL or
+    matplotlib for decoding."""
+
+    ID = 'MODIS GeoTIFF'
+
+    def __init__(self, fname):
+        try:
+            from PIL import Image
+            img = np.asarray(Image.open(fname))
+        except ImportError:
+            import matplotlib.image as mpimg
+            img = mpimg.imread(fname)
+        self.data = {'img': _entry(img, 'Image'),
+                     'shape': _entry(img.shape, 'Shape')}
+
+
+# --- geolocation utilities (reference modis.py:2556-3041) ---
+
+_R_SINU = 6371007.181  # MODIS sinusoidal sphere radius [m]
+
+
+def sinusoidal_xy(lon, lat):
+    """Forward MODIS sinusoidal projection (exact analytic form)."""
+    lon = np.deg2rad(np.asarray(lon, dtype=np.float64))
+    lat = np.deg2rad(np.asarray(lat, dtype=np.float64))
+    return _R_SINU * lon * np.cos(lat), _R_SINU * lat
+
+
+def cal_sinusoidal_grid():
+    """36x18 MODIS sinusoidal tile boundaries [m]
+    (reference cal_sinusoidal_grid, modis.py:2963)."""
+    x_max = _R_SINU * np.pi
+    y_max = _R_SINU * np.pi / 2.0
+    return np.linspace(-x_max, x_max, 37), np.linspace(y_max, -y_max, 19)
+
+
+def get_sinusoidal_grid_tag(lon, lat, verbose=False):
+    """Tile tags ('h10v17', ...) containing the given track
+    (reference get_sinusoidal_grid_tag, modis.py:2998)."""
+    x, y = sinusoidal_xy(np.ravel(lon), np.ravel(lat))
+    grid_x, grid_y = cal_sinusoidal_grid()
+    tags = []
+    for ih in range(36):
+        for iv in range(18):
+            hit = ((x >= grid_x[ih]) & (x <= grid_x[ih + 1]) &
+                   (y >= grid_y[iv + 1]) & (y <= grid_y[iv]))
+            if hit.any():
+                tags.append(f'h{ih:02d}v{iv:02d}')
+    return tags
+
+
+def upscale_modis_lonlat(lon_in, lat_in, scale=5, extra_grid=True):
+    """Upscale MODIS geolocation 5km->1km (scale=5), 1km->250m (4),
+    1km->500m (2) by separable linear interpolation/extrapolation in index
+    space with the standard grid offsets (reference modis.py:2556; see
+    icare.univ-lille1.fr MODIS geolocation notes).  Pure numpy — the
+    interpolation runs on locally linearized coordinates, adequate at
+    sub-5km scales away from the dateline."""
+    offsets = {4: (0.0, 1.5), 5: (2.0, 2.0), 2: (0.0, 0.5)}[scale]
+    lon_in = np.asarray(lon_in, dtype=np.float64).copy()
+    lat_in = np.asarray(lat_in, dtype=np.float64)
+    lon_in[lon_in > 180.0] -= 360.0
+    # unwrap dateline within the granule
+    if lon_in.max() - lon_in.min() > 180.0:
+        lon_in = np.where(lon_in < 0.0, lon_in + 360.0, lon_in)
+
+    ny, nx = lon_in.shape
+    ny_out = ny * scale + (scale if extra_grid else 0)
+    nx_out = nx * scale
+    iy = (np.arange(ny_out) - offsets[1]) / scale
+    ix = (np.arange(nx_out) - offsets[0]) / scale
+
+    def interp2(z):
+        # separable linear interp with linear extrapolation at the edges
+        def interp1(zi, t, n):
+            i0 = np.clip(np.floor(t).astype(int), 0, n - 2)
+            f = t - i0
+            return zi[..., i0] * (1 - f) + zi[..., i0 + 1] * f
+        z1 = interp1(np.moveaxis(z, 0, -1), iy, ny)      # (nx, ny_out)
+        return interp1(np.moveaxis(z1, 0, -1), ix, nx)   # (ny_out, nx_out)
+
+    lon_out = interp2(lon_in)
+    lat_out = interp2(lat_in)
+    lon_out = np.where(lon_out > 180.0, lon_out - 360.0, lon_out)
+    return lon_out, lat_out

@@ -129,3 +129,83 @@ def test_ncio_scaling(tmp_path):
     v = read_var(fname, 'v')
     assert v[0] == pytest.approx(10.0)
     assert np.isnan(v[2])
+
+
+def test_sinusoidal_grid_tags():
+    """Known tile lookups: Boulder CO is in h09v04; 0N0E is h18v08/h17v08
+    boundary region (reference get_sinusoidal_grid_tag, modis.py:2998)."""
+    from er3t_tpu.sat.modis import get_sinusoidal_grid_tag, cal_sinusoidal_grid
+    assert get_sinusoidal_grid_tag([-105.2], [40.1]) == ['h09v04']
+    tags = get_sinusoidal_grid_tag([0.1], [0.1])
+    assert 'h18v08' in tags
+    gx, gy = cal_sinusoidal_grid()
+    assert gx.size == 37 and gy.size == 19 and gy[0] > gy[-1]
+
+
+def test_upscale_modis_lonlat():
+    """5km->1km geolocation upscaling preserves a linear field and extends
+    by the documented offsets."""
+    import numpy as np
+    from er3t_tpu.sat.modis import upscale_modis_lonlat
+    ny, nx = 8, 10
+    lat0, lon0 = np.meshgrid(np.linspace(10, 11.4, ny),
+                             np.linspace(-40, -38.2, nx), indexing='ij')
+    lon, lat = upscale_modis_lonlat(lon0.copy(), lat0, scale=5,
+                                    extra_grid=True)
+    assert lon.shape == (ny * 5 + 5, nx * 5)
+    # linear field: interior values match analytic expectation
+    # output row 7 maps exactly onto input row 1 ((7 - 2)/5 = 1)
+    assert lat[7, 0] == pytest.approx(lat0[1, 0], abs=1e-9)
+    assert np.all(np.diff(lat[:, 0]) > 0)
+    assert np.all(np.diff(lon[0, :]) > 0)
+
+
+def test_daac_url_builders():
+    """LANCE / NSIDC / OCO-2 archive URL construction (offline)."""
+    import datetime
+    from er3t_tpu.sat.daac import lance_url, nsidc_url, oco2_url
+    d = datetime.date(2019, 9, 2)
+    u = lance_url(d, '61/MYD06_L2', 'MYD06_L2.A2019245.0400.061.nrt.hdf')
+    assert u == ('https://nrt3.modaps.eosdis.nasa.gov/archives/allData/'
+                 '61/MYD06_L2/2019/245/MYD06_L2.A2019245.0400.061.nrt.hdf')
+    u = nsidc_url(d, 'MYD29', '61', 'MYD29.A2019245.0400.061.h5')
+    assert '/MOSA/MYD29.061/2019.09.02/' in u
+    u = oco2_url(datetime.datetime(2019, 9, 2, 4), 'OCO2_L2_Standard.11r',
+                 'oco2_L2StdND_27502a.h5')
+    assert u.endswith('/OCO2_DATA/OCO2_L2_Standard.11r/2019/245/'
+                      'oco2_L2StdND_27502a.h5')
+
+
+def test_final_file_check(tmp_path):
+    import h5py
+    import numpy as np
+    from er3t_tpu.sat.daac import final_file_check
+    good = tmp_path / 'good.h5'
+    with h5py.File(good, 'w') as f:
+        f['x'] = np.arange(3)
+    assert final_file_check(str(good))
+    bad = tmp_path / 'bad.h5'
+    bad.write_bytes(b'not an hdf5 file')
+    assert not final_file_check(str(bad))
+    assert not final_file_check(str(tmp_path / 'missing.h5'))
+
+
+def test_modis_07_reader(tmp_path):
+    """MOD07 profile reader on a synthetic HDF5 granule."""
+    import h5py
+    import numpy as np
+    from er3t_tpu.sat.modis import modis_07
+    fn = tmp_path / 'MYD07_L2.A2019245.h5'
+    ny, nx, nlev = 6, 5, 20
+    with h5py.File(fn, 'w') as f:
+        f['Longitude'] = np.full((ny, nx), -59.9)
+        f['Latitude'] = np.full((ny, nx), 15.1)
+        f['Pressure_Levels'] = np.linspace(5, 1000, nlev)
+        f['Retrieved_Temperature_Profile'] = \
+            np.linspace(200, 290, nlev)[:, None, None] * np.ones((1, ny, nx))
+        f['Surface_Pressure'] = np.full((ny, nx), 1013.0)
+        f['Solar_Zenith'] = np.full((ny, nx), 30.0)
+    obj = modis_07(fnames=[str(fn)], extent=(-60.5, -59.5, 14.5, 15.5))
+    assert obj.data['T_level_retrieved']['data'].shape == (ny * nx, nlev)
+    assert obj.data['p_level']['data'].size == nlev
+    assert obj.data['p_sfc']['data'][0] == 1013.0
