@@ -209,3 +209,18 @@ def test_modis_07_reader(tmp_path):
     assert obj.data['T_level_retrieved']['data'].shape == (ny * nx, nlev)
     assert obj.data['p_level']['data'].size == nlev
     assert obj.data['p_sfc']['data'][0] == 1013.0
+
+
+def test_geodesic_vincenty():
+    """WGS84 Vincenty vs published values (Flinders Peak - Buninyong) and
+    direct/inverse roundtrip."""
+    import numpy as np
+    from er3t_tpu.util.geo import cal_geodesic_dist, cal_geodesic_lonlat
+    d = cal_geodesic_dist([144.424868], [-37.951033],
+                          [143.926496], [-37.652821])
+    assert d[0] == pytest.approx(54972.2, abs=1.0)
+    assert cal_geodesic_dist([0], [0], [0], [1])[0] == \
+        pytest.approx(110574.39, abs=0.1)
+    lon1, lat1 = cal_geodesic_lonlat([12.3], [45.6], [250000], [37.0])
+    back = cal_geodesic_dist([12.3], [45.6], lon1, lat1)
+    assert back[0] == pytest.approx(250000.0, abs=0.01)
