@@ -80,3 +80,18 @@ def test_decomp_2d_mesh(cloudy_scene):
     rd = _mean_rad(td, ab, st)
     assert np.all(np.isfinite(rd))
     assert rd[:8].mean() > rd[8:].mean()  # cloudy half brighter
+
+
+def test_decomp_with_tile_majorants(cloudy_scene):
+    """x-slab decomposition composed with per-tile majorants: tile faces
+    inside the slab clamp flights; the slab face keeps migration priority."""
+    ab, scn, st = cloudy_scene
+    cfg = SolverConfig(target='radiance', batch=1 << 11, tile_size=2)
+    t1 = run_transport_flight(scn, st, cfg, 120000, seed=5)
+    mesh = make_mesh(4, decomp=4)
+    td = transport_decomp(scn, st, cfg, 120000, mesh, seed=6, k_super=16)
+    assert int(td.n_launched) == 120000
+    r1 = _mean_rad(t1, ab, st)
+    rd = _mean_rad(td, ab, st)
+    assert rd.mean() == pytest.approx(r1.mean(), rel=0.05)
+    assert rd[:8].mean() == pytest.approx(r1[:8].mean(), rel=0.07)
