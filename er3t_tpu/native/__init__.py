@@ -26,10 +26,14 @@ _lib = None
 
 def ensure_built() -> str:
     if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-        subprocess.run(
-            ['g++', '-O3', '-march=native', '-shared', '-fPIC', '-std=c++17',
-             _SRC, '-o', _SO],
-            check=True)
+        cmd = ['g++', '-O3', '-march=native', '-shared', '-fPIC',
+               '-std=c++17', '-fopenmp', _SRC, '-o', _SO]
+        try:
+            subprocess.run(cmd, check=True)
+        except subprocess.CalledProcessError:
+            # toolchains without OpenMP: build serial
+            cmd.remove('-fopenmp')
+            subprocess.run(cmd, check=True)
     return _SO
 
 

@@ -21,6 +21,10 @@
 #include <cstring>
 #include <vector>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 namespace {
 
 struct Rng {
@@ -117,10 +121,9 @@ void mc_ref_run(
            z_lev, sig_ray, sig_aer, kabs, sig_maj, ext3d, ssa3d, apf3d,
            pt_mu, pt_p, dx, dy, albedo,
            std::cos(sza_deg * M_PI / 180.0), (270.0 - saa_deg) * M_PI / 180.0};
-  Rng rng(seed);
   const double lx = nx * dx, ly = ny * dy;
   const double z_top = z_lev[nz];
-  std::vector<double> w(ng), cum_abs_lev((nz + 1) * ng, 0.0),
+  std::vector<double> cum_abs_lev((nz + 1) * ng, 0.0),
       cum_sig_lev(nz + 1, 0.0);
   std::vector<double> cum3d;  // per-column ext above level k (nz3+1)
   if (nz3 > 0) {
@@ -149,7 +152,36 @@ void mc_ref_run(
 
   double sin0 = std::sqrt(std::fmax(1.0 - sc.mu0 * sc.mu0, 0.0));
 
+  // OpenMP photon-parallel: per-photon counter-seeded RNG streams make the
+  // result independent of the thread count; per-thread tally buffers are
+  // reduced at the end (same fan-out role as the reference's mp.Pool).
+  int nth = 1;
+#ifdef _OPENMP
+  nth = omp_get_max_threads();
+#endif
+  std::vector<std::vector<double>> rad_acc((size_t)nth),
+      flux_acc((size_t)nth);
+  for (int t = 0; t < nth; ++t) {
+    rad_acc[t].assign((size_t)nx * ny * ng, 0.0);
+    flux_acc[t].assign((size_t)(nz + 1) * 3 * ng, 0.0);
+  }
+
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+  {
+    int tid = 0;
+#ifdef _OPENMP
+    tid = omp_get_thread_num();
+#endif
+    double* orad = rad_acc[tid].data();
+    double* oflux = flux_acc[tid].data();
+    std::vector<double> w(ng);
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 4096)
+#endif
   for (long long p = 0; p < n_photon; ++p) {
+    Rng rng(seed + 0x9e3779b97f4a7c15ull * (uint64_t)(p + 1));
     double x = rng.u() * lx, y = rng.u() * ly, z = z_top;
     double ux = sin0 * std::cos(sc.phi0), uy = sin0 * std::sin(sc.phi0),
            uz = -sc.mu0;
@@ -158,7 +190,7 @@ void mc_ref_run(
     double wsc = 1.0;
     bool direct = true, alive = true;
     // TOA entry crossing
-    for (int g = 0; g < ng; ++g) out_flux[(nz * 3 + 0) * ng + g] += 1.0;
+    for (int g = 0; g < ng; ++g) oflux[(nz * 3 + 0) * ng + g] += 1.0;
     double tau = -std::log(rng.u_open());
     int guard = 0;
     while (alive && ++guard < 1000000) {
@@ -216,7 +248,7 @@ void mc_ref_run(
             for (int g = 0; g < ng; ++g) {
               double t_abs = cum_abs_lev[(l + 1) * ng + g] +
                              kabs[l * ng + g] * (z_lev[l + 1] - z);
-              out_rad[((size_t)pi * ny + pj) * ng + g] +=
+              orad[((size_t)pi * ny + pj) * ng + g] +=
                   base * w[g] * std::exp(-(t_sig + t3 + t_abs));
             }
           }
@@ -232,7 +264,7 @@ void mc_ref_run(
         if (uz > 0) { lev = l + 1; ch = 2; l += 1; }
         else { lev = l; ch = direct ? 0 : 1; l -= 1; }
         for (int g = 0; g < ng; ++g)
-          out_flux[((size_t)lev * 3 + ch) * ng + g] += wsc * w[g];
+          oflux[((size_t)lev * 3 + ch) * ng + g] += wsc * w[g];
         if (l < 0) {
           // surface
           if (do_radiance) {
@@ -241,7 +273,7 @@ void mc_ref_run(
             double t3 = nz3 > 0 ? cum3d[((size_t)pi * ny + pj) * (nz3 + 1)] : 0.0;
             double base = wsc * albedo / M_PI;
             for (int g = 0; g < ng; ++g)
-              out_rad[((size_t)pi * ny + pj) * ng + g] +=
+              orad[((size_t)pi * ny + pj) * ng + g] +=
                   base * w[g] * std::exp(-(cum_sig_lev[0] + t3 + cum_abs_lev[g]));
           }
           wsc *= albedo;
@@ -266,6 +298,14 @@ void mc_ref_run(
         else wsc /= psur;
       }
     }
+  }
+  }  // omp parallel
+
+  for (int t = 0; t < nth; ++t) {
+    for (size_t i = 0; i < (size_t)nx * ny * ng; ++i)
+      out_rad[i] += rad_acc[t][i];
+    for (size_t i = 0; i < (size_t)(nz + 1) * 3 * ng; ++i)
+      out_flux[i] += flux_acc[t][i];
   }
 }
 
