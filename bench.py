@@ -74,6 +74,10 @@ def main():
     tal = run_transport_flight(scene, st, cfg, 100_000, seed=0)
     _ = np.asarray(tal.rad)
 
+    # adaptive chunks: the while-loop drain tail (in-cloud stragglers) is a
+    # fixed ~200-step cost per chunk, so bigger chunks amortize it (~2x at
+    # 8M vs 2M).  Start small and double while the tunneled chip is healthy
+    # (long device calls can fault the tunnel, CLAUDE.md).
     chunk = 4_000_000
     target_seconds = 120.0
     n_done = 0
@@ -91,6 +95,10 @@ def main():
         n_done += int(tal.n_launched)
         t_used += dt
         i += 1
+        if dt < 25.0 and chunk < 32_000_000:
+            chunk *= 2
+        elif dt > 90.0 and chunk > 4_000_000:
+            chunk //= 2
 
     if n_done == 0 or t_used == 0:
         print(json.dumps({'metric': 'gpoint_photon_samples_per_sec_per_chip',
