@@ -13,7 +13,9 @@ import numpy as np
 from ..util.grid import grid_by_extent
 from ..util.ncio import apply_scaling, open_any
 
-__all__ = ['viirs_03', 'viirs_l1b', 'viirs_cldprop_l2', 'viirs_09']
+__all__ = ['viirs_03', 'viirs_l1b', 'viirs_cldprop_l2', 'viirs_09',
+           'viirs_09a1', 'viirs_43ma3', 'viirs_43ma4',
+           'viirs_mvcm_cldmsk_l2', 'get_fname_pattern']
 
 
 def _entry(data, name, units='N/A'):
@@ -159,3 +161,169 @@ class viirs_09:
             self.data['lon_2d'] = _entry(lon2, 'Gridded longitude', 'deg')
             self.data['lat_2d'] = _entry(lat2, 'Gridded latitude', 'deg')
             self.data['alb_2d'] = _entry(np.nan_to_num(alb2), 'Gridded albedo')
+
+
+class viirs_mvcm_cldmsk_l2:
+    """CLDMSK_L2 VIIRS continuity cloud mask (reference viirs.py:921):
+    Integer_Cloud_Mask 0=cloudy .. 3=confident clear."""
+
+    ID = 'VIIRS MVCM Continuity Cloud Mask 6-Min Swath 750 m'
+
+    def __init__(self, fname, extent=None):
+        f = open_any(fname)
+        try:
+            lon, _ = f.var('geolocation_data/longitude')
+            lat, _ = f.var('geolocation_data/latitude')
+            msk, _ = f.var('geophysical_data/Integer_Cloud_Mask')
+            sel = _subset(np.asarray(lon), np.asarray(lat), extent)
+            self.data = {
+                'lon': _entry(np.asarray(lon)[sel], 'Longitude', 'deg'),
+                'lat': _entry(np.asarray(lat)[sel], 'Latitude', 'deg'),
+                'cld_msk': _entry(np.asarray(msk)[sel],
+                                  'Integer Cloud Mask '
+                                  '(0=cloudy 1=prob.cloudy 2=prob.clear 3=clear)'),
+            }
+        finally:
+            f.close()
+
+
+def _tile_lonlat(fname, nx, ny):
+    """Approximate lon/lat of a sinusoidal-tile product from its hXXvYY tag
+    (reference derives them from the projection; analytic inverse here)."""
+    import re
+    from .modis import cal_sinusoidal_grid, _R_SINU
+    m = re.search(r'h(\d\d)v(\d\d)', fname)
+    if not m:
+        return None, None, None, None
+    ih, iv = int(m.group(1)), int(m.group(2))
+    gx, gy = cal_sinusoidal_grid()
+    x = np.linspace(gx[ih], gx[ih + 1], nx, endpoint=False)
+    y = np.linspace(gy[iv], gy[iv + 1], ny, endpoint=False)
+    xx, yy = np.meshgrid(x, y, indexing='ij')
+    lat = np.rad2deg(yy / _R_SINU)
+    with np.errstate(invalid='ignore', divide='ignore'):
+        lon = np.rad2deg(xx / (_R_SINU * np.cos(np.deg2rad(lat))))
+    return lon, lat, xx, yy
+
+
+class _viirs_tile_product:
+    """Shared machinery for VNP09A1/43MA3/43MA4 sinusoidal-tile products."""
+
+    _PATH = 'HDFEOS/GRIDS/{grid}/Data Fields/{var}'
+
+    def _read_var(self, f, names):
+        for n in names:
+            try:
+                d, a = f.var(n)
+                return apply_scaling(d, a)
+            except Exception:
+                continue
+        raise KeyError(f'none of {names} found')
+
+
+class viirs_09a1(_viirs_tile_product):
+    """VNP09A1 8-day surface reflectance on the sinusoidal tile grid
+    (reference viirs.py:1393): data keys ref/lon/lat/x/y."""
+
+    ID = 'VIIRS surface reflectance (1 km, 8 day)'
+
+    def __init__(self, fnames, band='M4', extent=None):
+        band = band.upper().replace('M0', 'M')
+        refs = lon = lat = x = y = None
+        for fname in np.atleast_1d(fnames):
+            f = open_any(fname)
+            try:
+                ref = self._read_var(
+                    f, [f'SurfReflect_{band}', f'SurfReflect_{band}_1',
+                        self._PATH.format(grid='VNP_Grid_1km_L3_2d',
+                                          var=f'SurfReflect_{band}_1')])
+            finally:
+                f.close()
+            refs = ref if refs is None else np.nanmean([refs, ref], axis=0)
+            if lon is None:
+                lon, lat, x, y = _tile_lonlat(fname, *ref.shape)
+        refs = np.where((refs >= -0.1) & (refs <= 1.6), refs, np.nan)
+        self.data = {'ref': _entry(np.nan_to_num(refs), 'Surface reflectance'),
+                     'alb_2d': _entry(np.nan_to_num(refs), 'Surface albedo')}
+        if lon is not None:
+            self.data.update(lon=_entry(lon, 'Longitude', 'deg'),
+                             lat=_entry(lat, 'Latitude', 'deg'),
+                             x=_entry(x, 'Sinusoidal x', 'm'),
+                             y=_entry(y, 'Sinusoidal y', 'm'))
+
+
+class viirs_43ma3(_viirs_tile_product):
+    """VNP43MA3 black/white-sky albedo on the sinusoidal tile grid
+    (reference viirs.py:1515): data keys bsa/wsa/lon/lat/x/y."""
+
+    ID = 'VIIRS surface albedo (1 km)'
+
+    def __init__(self, fnames, channels=('M4',), extent=None):
+        bsa, wsa = {}, {}
+        lon = lat = x = y = None
+        for fname in np.atleast_1d(fnames):
+            f = open_any(fname)
+            try:
+                for ch in channels:
+                    bsa[ch] = self._read_var(
+                        f, [f'Albedo_BSA_{ch}',
+                            self._PATH.format(grid='VIIRS_Grid_BRDF',
+                                              var=f'Albedo_BSA_{ch}')])
+                    wsa[ch] = self._read_var(
+                        f, [f'Albedo_WSA_{ch}',
+                            self._PATH.format(grid='VIIRS_Grid_BRDF',
+                                              var=f'Albedo_WSA_{ch}')])
+            finally:
+                f.close()
+            if lon is None:
+                lon, lat, x, y = _tile_lonlat(fname, *bsa[channels[0]].shape)
+        b = np.stack([bsa[c] for c in channels], axis=-1)
+        w = np.stack([wsa[c] for c in channels], axis=-1)
+        self.data = {'bsa': _entry(np.nan_to_num(b), 'Black-sky albedo'),
+                     'wsa': _entry(np.nan_to_num(w), 'White-sky albedo'),
+                     'alb_2d': _entry(np.nan_to_num(w[..., 0]),
+                                      'Surface albedo')}
+        if lon is not None:
+            self.data.update(lon=_entry(lon, 'Longitude', 'deg'),
+                             lat=_entry(lat, 'Latitude', 'deg'),
+                             x=_entry(x, 'Sinusoidal x', 'm'),
+                             y=_entry(y, 'Sinusoidal y', 'm'))
+
+
+class viirs_43ma4(_viirs_tile_product):
+    """VNP43MA4 nadir BRDF-adjusted reflectance (reference viirs.py:1657)."""
+
+    ID = 'VIIRS surface reflectance (1 km)'
+
+    def __init__(self, fnames, channels=('M4',), extent=None):
+        ref = {}
+        lon = lat = x = y = None
+        for fname in np.atleast_1d(fnames):
+            f = open_any(fname)
+            try:
+                for ch in channels:
+                    ref[ch] = self._read_var(
+                        f, [f'Nadir_Reflectance_{ch}',
+                            self._PATH.format(grid='VIIRS_Grid_BRDF',
+                                              var=f'Nadir_Reflectance_{ch}')])
+            finally:
+                f.close()
+            if lon is None:
+                lon, lat, x, y = _tile_lonlat(fname, *ref[channels[0]].shape)
+        r = np.stack([ref[c] for c in channels], axis=-1)
+        self.data = {'ref': _entry(np.nan_to_num(r),
+                                   'Nadir BRDF-adjusted reflectance'),
+                     'alb_2d': _entry(np.nan_to_num(r[..., 0]),
+                                      'Surface albedo')}
+        if lon is not None:
+            self.data.update(lon=_entry(lon, 'Longitude', 'deg'),
+                             lat=_entry(lat, 'Latitude', 'deg'),
+                             x=_entry(x, 'Sinusoidal x', 'm'),
+                             y=_entry(y, 'Sinusoidal y', 'm'))
+
+
+def get_fname_pattern(fname, index_s=1, index_e=2):
+    """'VNP09A1.A2019241.h10v05...' -> 'A2019241.h10v05'
+    (reference viirs.py:1791)."""
+    import os
+    return '.'.join(os.path.basename(fname).split('.')[index_s:index_e + 1])

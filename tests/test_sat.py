@@ -224,3 +224,39 @@ def test_geodesic_vincenty():
     lon1, lat1 = cal_geodesic_lonlat([12.3], [45.6], [250000], [37.0])
     back = cal_geodesic_dist([12.3], [45.6], lon1, lat1)
     assert back[0] == pytest.approx(250000.0, abs=0.01)
+
+
+def test_viirs_tile_products(tmp_path):
+    """VNP09A1 / 43MA3 / 43MA4 tile readers on synthetic granules with
+    analytic sinusoidal-tile geolocation."""
+    import h5py
+    import numpy as np
+    from er3t_tpu.sat.viirs import (viirs_09a1, viirs_43ma3, viirs_43ma4,
+                                    get_fname_pattern)
+    n = 24
+    f1 = tmp_path / 'VNP09A1.A2019241.h09v05.002.h5'
+    with h5py.File(f1, 'w') as f:
+        f['SurfReflect_M4'] = np.full((n, n), 0.23)
+    o = viirs_09a1([str(f1)], band='M4')
+    assert o.data['ref']['data'].shape == (n, n)
+    np.testing.assert_allclose(o.data['ref']['data'], 0.23)
+    # h09v05: lon in [-100.8.., -70..], lat in [30, 40)
+    assert 29.5 <= o.data['lat']['data'].min() <= 30.5
+    assert o.data['lat']['data'].max() < 40.01
+
+    f2 = tmp_path / 'VNP43MA3.A2019241.h09v05.002.h5'
+    with h5py.File(f2, 'w') as f:
+        f['Albedo_BSA_M4'] = np.full((n, n), 0.11)
+        f['Albedo_WSA_M4'] = np.full((n, n), 0.14)
+    o = viirs_43ma3([str(f2)], channels=('M4',))
+    np.testing.assert_allclose(o.data['wsa']['data'][..., 0], 0.14)
+    np.testing.assert_allclose(o.data['alb_2d']['data'], 0.14)
+
+    f3 = tmp_path / 'VNP43MA4.A2019241.h09v05.002.h5'
+    with h5py.File(f3, 'w') as f:
+        f['Nadir_Reflectance_M4'] = np.full((n, n), 0.19)
+    o = viirs_43ma4([str(f3)], channels=('M4',))
+    np.testing.assert_allclose(o.data['ref']['data'][..., 0], 0.19)
+
+    assert get_fname_pattern('x/VNP09A1.A2019241.h09v05.002.h5') == \
+        'A2019241.h09v05'
