@@ -260,3 +260,40 @@ def test_viirs_tile_products(tmp_path):
 
     assert get_fname_pattern('x/VNP09A1.A2019241.h09v05.002.h5') == \
         'A2019241.h09v05'
+
+
+def test_calipso_vfm_machinery(tmp_path):
+    """VFM block decode layout, type extraction, regrid, and reader on a
+    synthetic granule."""
+    import datetime
+    import h5py
+    import numpy as np
+    from er3t_tpu.sat.calipso import (cmr_vfm_search_url, vfm_row2block,
+                                      vfm_altitude, extract_type,
+                                      read_calipso_vfm)
+    url = cmr_vfm_search_url(datetime.date(2019, 8, 1), (-60, -59, 14, 15))
+    assert 'C2667982867-LARC_ASDC' in url and 'boundingBox=-60.00' in url
+
+    row = np.arange(5515, dtype=np.uint16)
+    blk = vfm_row2block(row)
+    assert blk.shape == (545, 15)
+    # high-altitude profile 0 replicated across the first 5 columns
+    assert np.all(blk[:55, 0] == blk[:55, 4])
+    assert np.all(blk[:55, 0] == row[:55])
+    # low-altitude block at native resolution
+    off = 3 * 55 + 5 * 200
+    assert np.all(blk[255:, 3] == row[off + 3 * 290: off + 4 * 290])
+    alt = vfm_altitude()
+    assert alt.size == 545 and alt[0] > 29.9 and alt[-1] < -0.4
+    assert extract_type(np.array([2 + 8, 5 + 64])).tolist() == [2, 5]
+
+    fn = tmp_path / 'CAL_LID_L2_VFM.h5'
+    nrec = 4
+    with h5py.File(fn, 'w') as f:
+        f['Longitude'] = np.linspace(-59.9, -59.1, nrec)[:, None]
+        f['Latitude'] = np.linspace(14.1, 14.9, nrec)[:, None]
+        fcf = np.ones((nrec, 5515), np.uint16) * 2   # all cloud
+        f['Feature_Classification_Flags'] = fcf
+    out = read_calipso_vfm(str(fn), extent=(-60, -59, 14, 15))
+    assert out['feature_type']['data'].shape[1] == nrec * 15
+    assert np.all(out['feature_type']['data'] == 2)
