@@ -72,6 +72,11 @@ class SolverConfig:
     #                                     upward fisheye, MCARaTS Rad_mrkind=1)
     use_pallas: bool = False           # fused Pallas flight-core kernel
     #                                     (TPU only; single-device path)
+    flux_engine: str = 'flight'        # 'flight' (level crossings tallied in
+    #                                     bulk per analytic flight) |
+    #                                     'marching' (event-marching kernel,
+    #                                     one crossing per iteration — the
+    #                                     bitwise reference path)
     tile_size: int = 0                 # >0: per-tile scattering majorants in
     #                                     the flight kernel (tile_size^2
     #                                     columns per tile) — the counterpart

@@ -18,6 +18,11 @@ TPU performance notes driving this design (measured on v5e):
   surface event (cf. MCARaTS Wld_mtarget=2); there are no per-crossing
   tallies in radiance mode, which is what makes the flight formulation
   efficient.
+* Flux targets tally EVERY level crossing of an analytic flight in one
+  iteration: per-crossing per-g weights form a (B, Nz+1, Ng) cumulative-
+  absorption tensor contracted onto the tally with an MXU matmul (or a
+  scatter-add for per-column tallies) — ~Nz fewer iterations than the
+  marching kernel.
 
 The kernel body is built by :func:`make_flight_kernel` so the same physics
 drives two execution shapes:
@@ -28,7 +33,8 @@ drives two execution shapes:
   with an x-slab restriction — photons leaving the local slab freeze and are
   migrated by the driver in :mod:`er3t_tpu.dist.decomp`.
 
-The event-marching kernel in er3t_tpu.rtm.mc remains the flux path.
+The event-marching kernel in er3t_tpu.rtm.mc remains as the independent
+bitwise-reference flux path (SolverConfig.flux_engine='marching').
 """
 
 from __future__ import annotations
@@ -75,6 +81,8 @@ class FlightCarry(NamedTuple):
     rad: jnp.ndarray        # (Nxr*Nyr, Ng)
     plen: jnp.ndarray       # (B,) geometric pathlength [m]
     rad_pl: jnp.ndarray     # (Nxr*Nyr, Ng) pathlength-weighted deposits
+    direct: jnp.ndarray     # (B,) bool — never scattered/reflected
+    flux: jnp.ndarray       # (Nxf*Nyf*(Nz+1)*3, Ng) level-crossing tallies
 
 
 def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
@@ -87,7 +95,8 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
     coordinates stay global, and lanes that leave the slab freeze (the
     migration driver moves them between devices).
     """
-    assert cfg.target == 'radiance'
+    radiance = cfg.target == 'radiance'
+    assert radiance or not cfg.use_pallas, 'pallas core is radiance-only'
     B = cfg.batch
     nz, ng = st.nz, st.ng
     nx_loc = st.nx
@@ -96,6 +105,13 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         nxr = nyr = cfg.cam_npix
     else:
         nxr, nyr = st.nx, st.ny
+    # flux targets: tally every level crossing of each analytic flight in
+    # one step (the marching kernel in rtm.mc advances one crossing per
+    # iteration).  Per-crossing per-g weights form a (B, Nz+1, Ng) tensor
+    # contracted onto the tally with an MXU matmul.
+    nxf, nyf = (st.nx, st.ny) if (not radiance and cfg.flux_per_column) \
+        else (1, 1)
+    nlev = nz + 1
     if slab is None:
         nx_glob = st.nx
         x_off = jnp.zeros((), _F)
@@ -244,6 +260,7 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         ix0 = jnp.where(spawn, local_ix(x), c.ix0)
         iy0 = jnp.where(spawn, jnp.floor(y / st.dy).astype(jnp.int32) % st.ny, c.iy0)
         plen = jnp.where(spawn, 0.0, c.plen)
+        direct = spawn | c.direct
 
         # lanes outside the local slab are frozen until migrated
         if slab is None:
@@ -359,6 +376,49 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
             trav = jnp.clip(jnp.minimum(d_out, s_star[:, None]) - d_in, 0.0, seg)
             trav = jnp.where(active[:, None], trav, 0.0)
 
+        flux = c.flux
+        if not radiance:
+            # ---- level-crossing flux tallies for the whole flight ----
+            # crossing distances to every level; the terminal surface/TOA
+            # crossing (s_star exactly on the boundary) is added explicitly
+            # so f32 rounding cannot drop or double-count it
+            s_cross = (z_lev[None, :] - z[:, None]) * inv_uz[:, None]
+            lev_iota = jax.lax.broadcasted_iota(jnp.int32, (B, nlev), 1)
+            term = active & ~collided & ~clamped & ~tclamp
+            crossed = (active[:, None] & (s_cross > 0.0)
+                       & (s_cross < s_star[:, None])) \
+                | ((term & ~going_up)[:, None] & (lev_iota == 0)) \
+                | ((term & going_up)[:, None] & (lev_iota == nz))
+            # gas absorption accumulated before each crossing: going up,
+            # layers below the level are complete; going down, layers above
+            ee = trav[:, :, None] * scene.kabs[None, :, :]      # (B,Nz,Ng)
+            pre = jnp.cumsum(ee, axis=1)
+            a_up = jnp.concatenate([jnp.zeros((B, 1, ng), _F), pre], axis=1)
+            a_dn = pre[:, -1:, :] - a_up
+            a_x = jnp.where(going_up[:, None, None], a_up, a_dn)
+            w_x = (wsc[:, None, None]
+                   * jnp.exp(labs[:, None, :ng] - a_x)
+                   * crossed[:, :, None].astype(_F))            # (B,Nlev,Ng)
+            if nxf * nyf == 1:
+                chm = jnp.stack([~going_up & direct, ~going_up & ~direct,
+                                 going_up], axis=0).astype(_F)  # (3, B)
+                part = jnp.einsum('cb,blg->lcg', chm, w_x,
+                                  preferred_element_type=_F)
+                flux = flux + part.reshape(nlev * 3, ng)
+            else:
+                xc = (x[:, None] + ux[:, None] * s_cross) % lx_glob
+                yc = (y[:, None] + uy[:, None] * s_cross) % ly
+                if st.ipa:
+                    ixc = jnp.broadcast_to(ix0[:, None], (B, nlev))
+                    iyc = jnp.broadcast_to(iy0[:, None], (B, nlev))
+                else:
+                    ixc = local_ix(xc)
+                    iyc = jnp.floor(yc / st.dy).astype(jnp.int32) % st.ny
+                chi = jnp.where(going_up, 2, jnp.where(direct, 0, 1))[:, None]
+                pidx = ((ixc * nyf + iyc) * nlev + lev_iota) * 3 + chi
+                flux = flux.at[pidx.reshape(-1)].add(
+                    w_x.reshape(B * nlev, ng))
+
         if not st.ipa:
             x = jnp.where(active, (x + ux * s_star) % lx_glob, x)
             if slab is not None:
@@ -443,72 +503,73 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         jsfc_l = srow[:, 0].astype(jnp.int32)
         psfc_l = srow[:, 1:]
 
-        if camera:
-            # point-estimator to a ground fisheye at (cam_x, cam_y, 0)
-            cam_x = cfg.cam_xpos * lx_glob
-            cam_y = cfg.cam_ypos * ly
-            dxs = (cam_x - x + 0.5 * lx_glob) % lx_glob - 0.5 * lx_glob
-            dys = (cam_y - y + 0.5 * ly) % ly - 0.5 * ly
-            r_cam = jnp.sqrt(dxs * dxs + dys * dys + z * z)
-            r_cam = jnp.maximum(r_cam, cfg.cam_rmin)
-            wsx_c, wsy_c, wsz_c = dxs / r_cam, dys / r_cam, -z / r_cam
-            mu_sc = ux * wsx_c + uy * wsy_c + uz * wsz_c
-            pval = phase_eval(apf, mu_sc, first=nscat == 0)
-            if st.has_3d:
-                tau3_below = jnp.where(
-                    l_col < st.iz3l, 0.0,
-                    jnp.where(l_col >= st.iz3l + st.nz3, vrow[:, 4],
-                              vrow[:, 4] - vrow[:, 3]
-                              - vrow[:, 0] * (z_hi_col - z)))
-                tau3_below = jnp.clip(tau3_below, 0.0, None)
-            else:
-                tau3_below = jnp.zeros(B, _F)
-            slant = r_cam / jnp.maximum(z, 1.0)
-            t_sens = jnp.exp(labs[:, :ng] - slant[:, None] * tau_sens_abs
-                             - (slant * (tau_sens_sig + tau3_below))[:, None])
-            c_vol = (wsc * ssa_ev * pval
-                     / (4.0 * jnp.pi * r_cam * r_cam))[:, None] * t_sens
-            contrib = jnp.where(accept[:, None], c_vol, 0.0)
-            # fisheye pixel (equidistant projection, up-looking)
-            theta = jnp.arccos(jnp.clip(z / r_cam, 0.0, 1.0))
-            phi_c = jnp.arctan2(-dys, -dxs)
-            pr = jnp.clip(theta / jnp.deg2rad(cfg.cam_qmax), 0.0, 0.999)
-            cam_px = jnp.clip(((0.5 + 0.5 * pr * jnp.cos(phi_c)) * nxr)
-                              .astype(jnp.int32), 0, nxr - 1)
-            cam_py = jnp.clip(((0.5 + 0.5 * pr * jnp.sin(phi_c)) * nyr)
-                              .astype(jnp.int32), 0, nyr - 1)
-        else:
-            mu_sc = ux * sx + uy * sy + uz * mu_s
-            pval = phase_eval(apf, mu_sc, first=nscat == 0)
-            t_sens = jnp.exp(labs[:, :ng] - tau_sens_abs
-                             - (tau_sens_sig + tau3_above)[:, None])
-            c_vol = (wsc * ssa_ev * pval / (4.0 * jnp.pi * mu_s))[:, None] * t_sens
-            rho_sens = brdf_eval(jsfc_l, psfc_l, ux, uy, uz, sx, sy, mu_s)
-            c_sfc = (wsc * rho_sens)[:, None] * t_sens
-            contrib = jnp.where(accept[:, None], c_vol,
-                                jnp.where(hit_sfc[:, None], c_sfc, 0.0))
-
         rad = c.rad
         rad_pl = c.rad_pl
-        # pathlength at detection: path so far + vertical exit path to TOA
-        pl_det = (plen + (z_top - z) / mu_s)[:, None]
-        if nxr * nyr == 1:
-            rad = rad + jnp.sum(contrib, axis=0, keepdims=True)
-            if cfg.pathlength:
-                rad_pl = rad_pl + jnp.sum(contrib * pl_det, axis=0, keepdims=True)
-        else:
+        if radiance:
             if camera:
-                pidx = cam_px * nyr + cam_py
-            elif st.ipa:
-                pidx = ix0 * nyr + iy0
+                # point-estimator to a ground fisheye at (cam_x, cam_y, 0)
+                cam_x = cfg.cam_xpos * lx_glob
+                cam_y = cfg.cam_ypos * ly
+                dxs = (cam_x - x + 0.5 * lx_glob) % lx_glob - 0.5 * lx_glob
+                dys = (cam_y - y + 0.5 * ly) % ly - 0.5 * ly
+                r_cam = jnp.sqrt(dxs * dxs + dys * dys + z * z)
+                r_cam = jnp.maximum(r_cam, cfg.cam_rmin)
+                wsx_c, wsy_c, wsz_c = dxs / r_cam, dys / r_cam, -z / r_cam
+                mu_sc = ux * wsx_c + uy * wsy_c + uz * wsz_c
+                pval = phase_eval(apf, mu_sc, first=nscat == 0)
+                if st.has_3d:
+                    tau3_below = jnp.where(
+                        l_col < st.iz3l, 0.0,
+                        jnp.where(l_col >= st.iz3l + st.nz3, vrow[:, 4],
+                                  vrow[:, 4] - vrow[:, 3]
+                                  - vrow[:, 0] * (z_hi_col - z)))
+                    tau3_below = jnp.clip(tau3_below, 0.0, None)
+                else:
+                    tau3_below = jnp.zeros(B, _F)
+                slant = r_cam / jnp.maximum(z, 1.0)
+                t_sens = jnp.exp(labs[:, :ng] - slant[:, None] * tau_sens_abs
+                                 - (slant * (tau_sens_sig + tau3_below))[:, None])
+                c_vol = (wsc * ssa_ev * pval
+                         / (4.0 * jnp.pi * r_cam * r_cam))[:, None] * t_sens
+                contrib = jnp.where(accept[:, None], c_vol, 0.0)
+                # fisheye pixel (equidistant projection, up-looking)
+                theta = jnp.arccos(jnp.clip(z / r_cam, 0.0, 1.0))
+                phi_c = jnp.arctan2(-dys, -dxs)
+                pr = jnp.clip(theta / jnp.deg2rad(cfg.cam_qmax), 0.0, 0.999)
+                cam_px = jnp.clip(((0.5 + 0.5 * pr * jnp.cos(phi_c)) * nxr)
+                                  .astype(jnp.int32), 0, nxr - 1)
+                cam_py = jnp.clip(((0.5 + 0.5 * pr * jnp.sin(phi_c)) * nyr)
+                                  .astype(jnp.int32), 0, nyr - 1)
             else:
-                xp = x - sx / mu_s * z
-                yp = (y - sy / mu_s * z) % ly
-                pidx = local_ix(xp) * nyr \
-                    + jnp.floor(yp / st.dy).astype(jnp.int32) % nyr
-            rad = rad.at[pidx].add(contrib)
-            if cfg.pathlength:
-                rad_pl = rad_pl.at[pidx].add(contrib * pl_det)
+                mu_sc = ux * sx + uy * sy + uz * mu_s
+                pval = phase_eval(apf, mu_sc, first=nscat == 0)
+                t_sens = jnp.exp(labs[:, :ng] - tau_sens_abs
+                                 - (tau_sens_sig + tau3_above)[:, None])
+                c_vol = (wsc * ssa_ev * pval / (4.0 * jnp.pi * mu_s))[:, None] * t_sens
+                rho_sens = brdf_eval(jsfc_l, psfc_l, ux, uy, uz, sx, sy, mu_s)
+                c_sfc = (wsc * rho_sens)[:, None] * t_sens
+                contrib = jnp.where(accept[:, None], c_vol,
+                                    jnp.where(hit_sfc[:, None], c_sfc, 0.0))
+
+            # pathlength at detection: path so far + vertical exit path to TOA
+            pl_det = (plen + (z_top - z) / mu_s)[:, None]
+            if nxr * nyr == 1:
+                rad = rad + jnp.sum(contrib, axis=0, keepdims=True)
+                if cfg.pathlength:
+                    rad_pl = rad_pl + jnp.sum(contrib * pl_det, axis=0, keepdims=True)
+            else:
+                if camera:
+                    pidx = cam_px * nyr + cam_py
+                elif st.ipa:
+                    pidx = ix0 * nyr + iy0
+                else:
+                    xp = x - sx / mu_s * z
+                    yp = (y - sy / mu_s * z) % ly
+                    pidx = local_ix(xp) * nyr \
+                        + jnp.floor(yp / st.dy).astype(jnp.int32) % nyr
+                rad = rad.at[pidx].add(contrib)
+                if cfg.pathlength:
+                    rad_pl = rad_pl.at[pidx].add(contrib * pl_det)
 
         # ---------------- direction updates ----------------
         mu_new = phase_sample(apf, u[:, 5])
@@ -526,6 +587,7 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
             ix0 = jnp.where(low, local_ix(x), ix0)
             iy0 = jnp.where(low, jnp.floor(y / st.dy).astype(jnp.int32) % st.ny, iy0)
         nscat = nscat + accept.astype(jnp.int32)
+        direct = direct & ~accept & ~hit_sfc
         tau = jnp.where(active, -jnp.log(u[:, 7]), tau)
 
         # ---------------- termination / roulette ----------------
@@ -540,13 +602,15 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         return FlightCarry(x=x, y=y, z=z, ux=ux, uy=uy, uz=uz, wsc=wsc,
                            labs=labs, tau=tau, nscat=nscat, alive=alive,
                            ix0=ix0, iy0=iy0, launched=launched,
-                           step=c.step + 1, rad=rad, plen=plen, rad_pl=rad_pl)
+                           step=c.step + 1, rad=rad, plen=plen,
+                           rad_pl=rad_pl, direct=direct, flux=flux)
 
     def cond(c: FlightCarry):
         return jnp.any(c.alive) | (c.launched < n_photon)
 
     zB = jnp.zeros(B, _F)
     n_pl = nxr * nyr if cfg.pathlength else 1
+    n_fx = nxf * nyf * nlev * 3 if not radiance else 1
     carry0 = FlightCarry(
         x=zB, y=zB, z=zB, ux=zB, uy=zB, uz=zB, wsc=zB,
         labs=jnp.zeros((B, ng + 1), _F), tau=zB,
@@ -554,7 +618,9 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         ix0=jnp.zeros(B, jnp.int32), iy0=jnp.zeros(B, jnp.int32),
         launched=jnp.zeros((), jnp.int32), step=jnp.zeros((), jnp.int32),
         rad=jnp.zeros((nxr * nyr, ng), _F), plen=zB,
-        rad_pl=jnp.zeros((n_pl, ng), _F))
+        rad_pl=jnp.zeros((n_pl, ng), _F),
+        direct=jnp.zeros(B, bool),
+        flux=jnp.zeros((n_fx, ng), _F))
     return body, cond, carry0
 
 
@@ -576,8 +642,16 @@ def transport_flight(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         nxr, nyr = st.nx, st.ny
     rad_plen = out.rad_pl.reshape(nxr, nyr, st.ng) if cfg.pathlength \
         else jnp.zeros(())
+    if cfg.target == 'radiance':
+        flux = jnp.zeros((1, 1, st.nz + 1, 3, st.ng), _F)
+    else:
+        nxf, nyf = (st.nx, st.ny) if cfg.flux_per_column else (1, 1)
+        flux = out.flux.reshape(nxf, nyf, st.nz + 1, 3, st.ng)
+        # deterministic TOA down-direct entry: exactly 1 per launched photon
+        flux = flux.at[:, :, st.nz, 0, :].add(
+            out.launched.astype(_F) / (nxf * nyf))
     return Tallies(rad=out.rad.reshape(nxr, nyr, st.ng),
-                   flux=jnp.zeros((1, 1, st.nz + 1, 3, st.ng), _F),
+                   flux=flux,
                    n_launched=out.launched, n_steps=out.step,
                    rad_plen=rad_plen)
 

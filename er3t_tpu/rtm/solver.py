@@ -89,11 +89,13 @@ def _single_run(scene, static, cfg, n_photon, seed, chunk=4_000_000):
     Chunking keeps each jitted while-loop execution short (tens of seconds),
     which matters on tunneled single-chip attachments with RPC deadlines and
     gives natural progress granularity; chunks differ only by RNG stream.
-    The radiance hot path uses the flight kernel (er3t_tpu.rtm.mc_flight),
-    flux targets the event-marching kernel.
+    Both targets default to the flight kernel (er3t_tpu.rtm.mc_flight);
+    SolverConfig.flux_engine='marching' selects the event-marching kernel
+    (the bitwise reference path).
     """
     from .mc_flight import run_transport_flight
-    runner = run_transport_flight if cfg.target == 'radiance' else mc.run_transport
+    use_flight = cfg.target == 'radiance' or cfg.flux_engine == 'flight'
+    runner = run_transport_flight if use_flight else mc.run_transport
     rad = flux = None
     n_total = 0
     remaining = int(n_photon)

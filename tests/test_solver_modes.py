@@ -113,3 +113,32 @@ def test_flux_per_column_normalization(atm):
                                r_dom['f_down_direct'][0, 0, -1], rtol=1e-3)
     assert r_col['f_down'][..., 0].mean() == pytest.approx(
         float(r_dom['f_down'][0, 0, 0]), rel=0.05)
+
+
+def test_flux_engines_agree(atm):
+    """Flight-based flux tallies (bulk level crossings) match the
+    event-marching kernel within MC noise, per channel and level."""
+    from er3t_tpu.pre.abs import abs_synthetic
+    from er3t_tpu.pre.cld import cld_gen_hom
+    from er3t_tpu.rtm.scene import build_scene
+    from er3t_tpu.rtm.mc import SolverConfig, run_transport
+    from er3t_tpu.rtm.mc_flight import run_transport_flight
+
+    ab = abs_synthetic(650.0, atm)
+    cld = cld_gen_hom(nx=4, ny=4, nz=2, dx=1.0, dy=1.0, cot0=6.0, cer0=10.0,
+                      cloud_base=1.0, cloud_top=3.0)
+    scene, st = build_scene(atm, ab, cld=cld, surface=0.15,
+                            solar_zenith_angle=30.0)
+    n = 100_000
+    w = ab.weight
+    cfg = SolverConfig(target='flux', batch=1 << 12, flux_per_column=False)
+    fm = np.asarray(run_transport(scene, st, cfg, n, seed=21).flux)[0, 0] / n
+    tf = run_transport_flight(scene, st, cfg, n, seed=33,
+                              rng_impl='threefry2x32')
+    ff = np.asarray(tf.flux)[0, 0] / int(tf.n_launched)
+    for ch in (0, 2):   # down-direct, up
+        a, b = fm[:, ch, :] @ w, ff[:, ch, :] @ w
+        sel = a > 1e-3
+        np.testing.assert_allclose(b[sel], a[sel], rtol=0.05)
+    # down-diffuse at the surface
+    assert (ff[0, 1, :] @ w) == pytest.approx(fm[0, 1, :] @ w, rel=0.08)
