@@ -417,7 +417,13 @@ def transport(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
             fiy = iy if cfg.flux_per_column else jnp.zeros_like(iy)
             fidx = ((fix * nyf + fiy) * nlev + lev) * 3 + ch
             wf = w_full(wsc, S)
-            flux = flux.at[fidx].add(jnp.where(crossed[:, None], wf, 0.0))
+            # tallies are packed 8 logical rows per physical 128-lane row
+            # (ng=16 would otherwise pad 8x on TPU -> OOM for per-column
+            # tallies on large scenes); row scatter stays row scatter
+            sub = jax.nn.one_hot(fidx % 8, 8, dtype=_F)
+            upd = (sub[:, :, None]
+                   * jnp.where(crossed[:, None], wf, 0.0)[:, None, :])
+            flux = flux.at[fidx // 8].add(upd.reshape(B, 8 * ng))
 
         # ---------------- surface interaction (Lambertian v1; typed BRDFs
         # handled in rtm.brdf and dispatched here) ----------------
@@ -474,10 +480,11 @@ def transport(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         ix0=jnp.zeros(B, jnp.int32), iy0=jnp.zeros(B, jnp.int32),
         launched=jnp.zeros((), jnp.int32), step=jnp.zeros((), jnp.int32),
         rad=jnp.zeros((nxr * nyr, ng), _F),
-        flux=jnp.zeros((nxf * nyf * nlev * 3, ng), _F),
+        flux=jnp.zeros((-(-(nxf * nyf * nlev * 3) // 8), 8 * ng), _F),
     )
     out = jax.lax.while_loop(cond, body, state0)
-    flux = out.flux.reshape(nxf, nyf, nlev, 3, ng)
+    n_rows = nxf * nyf * nlev * 3
+    flux = out.flux.reshape(-1, ng)[:n_rows].reshape(nxf, nyf, nlev, 3, ng)
     if cfg.target != 'radiance':
         # TOA down-direct entry: exactly one crossing per launched photon,
         # deposited deterministically (uniform spawn ⇒ uniform expectation)

@@ -404,7 +404,10 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                                  going_up], axis=0).astype(_F)  # (3, B)
                 part = jnp.einsum('cb,blg->lcg', chm, w_x,
                                   preferred_element_type=_F)
-                flux = flux + part.reshape(nlev * 3, ng)
+                pad = flux.size // (8 * ng) * 8 - nlev * 3
+                flux = flux + jnp.concatenate(
+                    [part.reshape(nlev * 3, ng),
+                     jnp.zeros((pad, ng), _F)]).reshape(-1, 8 * ng)
             else:
                 xc = (x[:, None] + ux[:, None] * s_cross) % lx_glob
                 yc = (y[:, None] + uy[:, None] * s_cross) % ly
@@ -415,9 +418,12 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                     ixc = local_ix(xc)
                     iyc = jnp.floor(yc / st.dy).astype(jnp.int32) % st.ny
                 chi = jnp.where(going_up, 2, jnp.where(direct, 0, 1))[:, None]
-                pidx = ((ixc * nyf + iyc) * nlev + lev_iota) * 3 + chi
-                flux = flux.at[pidx.reshape(-1)].add(
-                    w_x.reshape(B * nlev, ng))
+                pidx = (((ixc * nyf + iyc) * nlev + lev_iota) * 3
+                        + chi).reshape(-1)
+                # 8-fold row packing (see rtm.mc): 128-lane tally rows
+                sub = jax.nn.one_hot(pidx % 8, 8, dtype=_F)
+                upd = sub[:, :, None] * w_x.reshape(B * nlev, 1, ng)
+                flux = flux.at[pidx // 8].add(upd.reshape(B * nlev, 8 * ng))
 
         if not st.ipa:
             x = jnp.where(active, (x + ux * s_star) % lx_glob, x)
@@ -610,7 +616,7 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
 
     zB = jnp.zeros(B, _F)
     n_pl = nxr * nyr if cfg.pathlength else 1
-    n_fx = nxf * nyf * nlev * 3 if not radiance else 1
+    n_fx = -(-(nxf * nyf * nlev * 3) // 8) if not radiance else 1
     carry0 = FlightCarry(
         x=zB, y=zB, z=zB, ux=zB, uy=zB, uz=zB, wsc=zB,
         labs=jnp.zeros((B, ng + 1), _F), tau=zB,
@@ -620,7 +626,7 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         rad=jnp.zeros((nxr * nyr, ng), _F), plen=zB,
         rad_pl=jnp.zeros((n_pl, ng), _F),
         direct=jnp.zeros(B, bool),
-        flux=jnp.zeros((n_fx, ng), _F))
+        flux=jnp.zeros((n_fx, 8 * ng), _F))
     return body, cond, carry0
 
 
@@ -646,7 +652,9 @@ def transport_flight(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         flux = jnp.zeros((1, 1, st.nz + 1, 3, st.ng), _F)
     else:
         nxf, nyf = (st.nx, st.ny) if cfg.flux_per_column else (1, 1)
-        flux = out.flux.reshape(nxf, nyf, st.nz + 1, 3, st.ng)
+        n_rows = nxf * nyf * (st.nz + 1) * 3
+        flux = out.flux.reshape(-1, st.ng)[:n_rows].reshape(
+            nxf, nyf, st.nz + 1, 3, st.ng)
         # deterministic TOA down-direct entry: exactly 1 per launched photon
         flux = flux.at[:, :, st.nz, 0, :].add(
             out.launched.astype(_F) / (nxf * nyf))
