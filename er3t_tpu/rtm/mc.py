@@ -86,6 +86,11 @@ class SolverConfig:
     #                                     collisions in broken-cloud scenes
     cam_xpos: float = 0.5              # camera position, domain fractions
     cam_ypos: float = 0.5              # (MCARaTS Rad_xpos/ypos)
+    cam_zloc: float = 0.0              # camera altitude [m] (Rad_zloc);
+    #                                     keep outside the 3D deck z-range
+    cam_phi: float = 0.0               # Z-Y-Z Euler camera pointing [deg]
+    cam_the: float = 0.0               # (MCARaTS Rad_phi/the/psi); the=0 is
+    cam_psi: float = 0.0               # up-looking, the=180 nadir-down
     cam_qmax: float = 89.0             # fisheye half-angle [deg]
     cam_npix: int = 64                 # image is (cam_npix, cam_npix)
     cam_rmin: float = 50.0             # point-estimator distance clamp [m]

@@ -186,6 +186,22 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
     u0z = -scene.mu0
     z_top = z_lev[-1]
 
+    if camera:
+        cam_z = jnp.asarray(cfg.cam_zloc, _F)
+        _cp, _ct, _cs = (np.deg2rad(cfg.cam_phi), np.deg2rad(cfg.cam_the),
+                         np.deg2rad(cfg.cam_psi))
+
+        def _rz(a):
+            return np.array([[np.cos(a), -np.sin(a), 0.0],
+                             [np.sin(a), np.cos(a), 0.0], [0.0, 0.0, 1.0]])
+
+        def _ry(a):
+            return np.array([[np.cos(a), 0.0, np.sin(a)], [0.0, 1.0, 0.0],
+                             [-np.sin(a), 0.0, np.cos(a)]])
+
+        # world -> camera frame (camera axis = Rz(phi) Ry(the) zhat)
+        cam_rot = (_rz(_cp) @ _ry(_ct) @ _rz(_cs)).T.astype(np.float32)
+
     uniform_sfc = (st.nxs == 1 and st.nys == 1)
     # packed surface table: [jsfc, p0..p4] — one gather per surface event
     sfc_tab = jnp.concatenate(
@@ -451,8 +467,12 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         # satellite, below it for a ground camera (slant factor applied at
         # the estimate)
         if camera:
-            sens_path = jnp.clip(jnp.minimum(z[:, None], z_lev[None, 1:])
-                                 - z_lev[None, :-1], 0.0, dz_lay[None, :])
+            # vertical path between the event and the camera altitude
+            zc_lo = jnp.minimum(z, cam_z)
+            zc_hi = jnp.maximum(z, cam_z)
+            sens_path = jnp.clip(jnp.minimum(zc_hi[:, None], z_lev[None, 1:])
+                                 - jnp.maximum(zc_lo[:, None], z_lev[None, :-1]),
+                                 0.0, dz_lay[None, :])
         else:
             sens_path = jnp.clip(
                 z_lev[None, 1:] - jnp.maximum(z[:, None], z_lev[None, :-1]),
@@ -513,14 +533,16 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         rad_pl = c.rad_pl
         if radiance:
             if camera:
-                # point-estimator to a ground fisheye at (cam_x, cam_y, 0)
+                # point-estimator to a camera at (cam_x, cam_y, cam_z) with
+                # Z-Y-Z Euler pointing (MCARaTS Rad_phi/the/psi + Rad_zloc)
                 cam_x = cfg.cam_xpos * lx_glob
                 cam_y = cfg.cam_ypos * ly
                 dxs = (cam_x - x + 0.5 * lx_glob) % lx_glob - 0.5 * lx_glob
                 dys = (cam_y - y + 0.5 * ly) % ly - 0.5 * ly
-                r_cam = jnp.sqrt(dxs * dxs + dys * dys + z * z)
+                dzs = cam_z - z
+                r_cam = jnp.sqrt(dxs * dxs + dys * dys + dzs * dzs)
                 r_cam = jnp.maximum(r_cam, cfg.cam_rmin)
-                wsx_c, wsy_c, wsz_c = dxs / r_cam, dys / r_cam, -z / r_cam
+                wsx_c, wsy_c, wsz_c = dxs / r_cam, dys / r_cam, dzs / r_cam
                 mu_sc = ux * wsx_c + uy * wsy_c + uz * wsz_c
                 pval = phase_eval(apf, mu_sc, first=nscat == 0)
                 if st.has_3d:
@@ -530,17 +552,30 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                                   vrow[:, 4] - vrow[:, 3]
                                   - vrow[:, 0] * (z_hi_col - z)))
                     tau3_below = jnp.clip(tau3_below, 0.0, None)
+                    # camera above the deck top sees the deck portion ABOVE
+                    # the event (tau3_above carries the satellite 1/mu_s)
+                    cam_above = cam_z >= z_lev[st.iz3l + st.nz3]
+                    tau3_cam = jnp.where(cam_above, tau3_above * mu_s,
+                                         tau3_below)
                 else:
-                    tau3_below = jnp.zeros(B, _F)
-                slant = r_cam / jnp.maximum(z, 1.0)
+                    tau3_cam = jnp.zeros(B, _F)
+                slant = r_cam / jnp.maximum(jnp.abs(z - cam_z), 1.0)
                 t_sens = jnp.exp(labs[:, :ng] - slant[:, None] * tau_sens_abs
-                                 - (slant * (tau_sens_sig + tau3_below))[:, None])
+                                 - (slant * (tau_sens_sig + tau3_cam))[:, None])
                 c_vol = (wsc * ssa_ev * pval
                          / (4.0 * jnp.pi * r_cam * r_cam))[:, None] * t_sens
-                contrib = jnp.where(accept[:, None], c_vol, 0.0)
-                # fisheye pixel (equidistant projection, up-looking)
-                theta = jnp.arccos(jnp.clip(z / r_cam, 0.0, 1.0))
-                phi_c = jnp.arctan2(-dys, -dxs)
+                # fisheye pixel (equidistant projection) in the rotated
+                # camera frame; out-of-FOV events contribute nothing
+                vx = (cam_rot[0, 0] * -wsx_c + cam_rot[0, 1] * -wsy_c
+                      + cam_rot[0, 2] * -wsz_c)
+                vy = (cam_rot[1, 0] * -wsx_c + cam_rot[1, 1] * -wsy_c
+                      + cam_rot[1, 2] * -wsz_c)
+                vz = (cam_rot[2, 0] * -wsx_c + cam_rot[2, 1] * -wsy_c
+                      + cam_rot[2, 2] * -wsz_c)
+                theta = jnp.arccos(jnp.clip(vz, -1.0, 1.0))
+                phi_c = jnp.arctan2(vy, vx)
+                in_fov = theta <= jnp.deg2rad(cfg.cam_qmax)
+                contrib = jnp.where((accept & in_fov)[:, None], c_vol, 0.0)
                 pr = jnp.clip(theta / jnp.deg2rad(cfg.cam_qmax), 0.0, 0.999)
                 cam_px = jnp.clip(((0.5 + 0.5 * pr * jnp.cos(phi_c)) * nxr)
                                   .astype(jnp.int32), 0, nxr - 1)

@@ -31,3 +31,49 @@ def test_camera_clear_sky_radiance():
     # corners (outside the fisheye circle) are masked
     assert np.isnan(rad[0, 0])
     assert np.isfinite(rad[np.isfinite(rad)]).all()
+
+
+def test_airborne_nadir_camera_sees_cloud():
+    """Euler-pointed airborne camera (MCARaTS Rad_phi/the/psi + Rad_zloc):
+    a down-looking camera above a half-cloudy deck sees brighter pixels on
+    the cloudy side; the up-looking ground default is unchanged."""
+    from er3t_tpu.pre.cld import cld_gen_hom
+
+    atm = atm_atmmod(np.linspace(0, 20, 21))
+    ab = abs_synthetic(650.0, atm)
+    cld = cld_gen_hom(nx=8, ny=8, nz=2, dx=0.5, dy=0.5, cot0=10.0, cer0=10.0,
+                      cloud_base=1.0, cloud_top=3.0)
+    cld.extinction[4:] = 0.0   # x >= half: clear
+    cld.cer[4:] = 0.0
+    scn, st = build_scene(atm, ab, cld=cld, surface=0.03,
+                          solar_zenith_angle=30.0)
+    cfg = SolverConfig(target='radiance', batch=1 << 12,
+                       sensor_type='camera', cam_npix=16, cam_qmax=60.0,
+                       cam_zloc=8000.0, cam_the=180.0, cam_rmin=100.0)
+    tal = run_transport_flight(scn, st, cfg, 200000, seed=4,
+                               rng_impl='threefry2x32')
+    img = np.asarray(tal.rad) @ ab.weight / int(tal.n_launched)
+    img = img.reshape(16, 16)
+    assert img.sum() > 0
+    # with cam_the=180 (pointing down), the cloudy half (x < 2 km, camera at
+    # domain center x=2km) maps to one half of the image; brightness contrast
+    half_a, half_b = img[:8].mean(), img[8:].mean()
+    assert max(half_a, half_b) > 2.0 * max(min(half_a, half_b), 1e-12)
+
+
+def test_camera_fov_mask():
+    """Events outside the fisheye FOV must not deposit (no edge pileup)."""
+    atm = atm_atmmod(np.linspace(0, 20, 21))
+    ab = abs_synthetic(650.0, atm)
+    scn, st = build_scene(atm, ab, surface=0.1, solar_zenith_angle=30.0)
+    cfg = SolverConfig(target='radiance', batch=1 << 12,
+                       sensor_type='camera', cam_npix=16, cam_qmax=20.0)
+    tal = run_transport_flight(scn, st, cfg, 100000, seed=9,
+                               rng_impl='threefry2x32')
+    img = np.asarray(tal.rad) @ ab.weight / int(tal.n_launched)
+    img = img.reshape(16, 16)
+    # narrow-FOV zenith camera: corner pixels (outside the image circle)
+    # stay empty, and the edge ring is not brighter than the center
+    assert img[0, 0] == 0 and img[-1, -1] == 0
+    edge = np.concatenate([img[0], img[-1], img[:, 0], img[:, -1]])
+    assert edge.mean() <= img[6:10, 6:10].mean() * 2.0 + 1e-12
