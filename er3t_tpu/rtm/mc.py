@@ -72,6 +72,14 @@ class SolverConfig:
     #                                     upward fisheye, MCARaTS Rad_mrkind=1)
     use_pallas: bool = False           # fused Pallas flight-core kernel
     #                                     (TPU only; single-device path)
+    cf_dtau: float = 0.0               # >0: collision forcing for flights
+    #                                     with majorant OD below this
+    #                                     threshold (MCARaTS Rad_cf_*,
+    #                                     Flx_cf_dtau, mca_inp.py:129,317):
+    #                                     the flight collides from a
+    #                                     truncated-exponential with weight
+    #                                     1-exp(-OD); exact for radiance
+    #                                     (escapes contribute nothing)
     flux_engine: str = 'flight'        # 'flight' (level crossings tallied in
     #                                     bulk per analytic flight) |
     #                                     'marching' (event-marching kernel,

@@ -253,7 +253,7 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
 
     def body(c: FlightCarry) -> FlightCarry:
         k_iter = jax.random.fold_in(key, c.step)
-        u = jax.random.uniform(k_iter, (B, 11), dtype=_F,
+        u = jax.random.uniform(k_iter, (B, 12), dtype=_F,
                                minval=1e-7, maxval=1.0 - 1e-7)
 
         # ---------------- respawn (into the local slab) ----------------
@@ -331,8 +331,22 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
             cum = jnp.where(going_up[:, None], cum_up, cum_dn)
             total_od = jnp.where(going_up, cum_up[:, -1], cum_dn[:, 0])
 
-            collided = active & (tau < total_od)
-            full = cum < tau[:, None]
+            if cfg.cf_dtau > 0 and radiance:
+                # collision forcing (MCARaTS Rad_cf_*): thin UPWARD flights
+                # collide from a truncated exponential with weight
+                # 1-exp(-OD) — exact because the alternative outcome (TOA
+                # escape) contributes nothing; downward flights keep their
+                # natural surface hit (deposit + bounce)
+                thin = active & going_up & (total_od < cfg.cf_dtau)
+                surv = -jnp.expm1(-total_od)
+                tau_f = -jnp.log1p(-u[:, 11] * surv)
+                tau_use = jnp.where(thin, tau_f, tau)
+            else:
+                thin = jnp.zeros(B, bool)
+                surv = jnp.ones(B, _F)
+                tau_use = tau
+            collided = active & (tau_use < total_od)
+            full = cum < tau_use[:, None]
             n_full = jnp.sum(full.astype(jnp.int32), axis=1)
             l_col = jnp.clip(jnp.where(going_up, n_full, nz - 1 - n_full), 0, nz - 1)
             oh_col = (jax.lax.broadcasted_iota(jnp.int32, (B, nz), 1)
@@ -340,7 +354,7 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
             sig_m = jnp.sum(oh_col * sig_col, axis=1)
             cum_before = jnp.sum(od * full.astype(_F), axis=1)
             d_before = jnp.sum(seg * full.astype(_F), axis=1)
-            s_col = d_before + (tau - cum_before) / sig_m
+            s_col = d_before + (tau_use - cum_before) / sig_m
             s_star = jnp.where(collided, s_col, jnp.sum(seg, axis=1))
             s_star = jnp.where(active, s_star, 0.0)
 
@@ -384,6 +398,11 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
             clamped = clamped & ~tclamp
         else:
             tclamp = jnp.zeros(B, bool)
+
+        if cfg.cf_dtau > 0 and radiance:
+            # forcing weight applies once the collision survived clamping,
+            # BEFORE local estimates (the deposit carries it)
+            wsc = jnp.where(thin & collided, wsc * surv, wsc)
 
         # traveled path per layer, valid for collided/exit/clamped alike
         if cfg.use_pallas and slab is None:

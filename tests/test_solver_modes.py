@@ -142,3 +142,31 @@ def test_flux_engines_agree(atm):
         np.testing.assert_allclose(b[sel], a[sel], rtol=0.05)
     # down-diffuse at the surface
     assert (ff[0, 1, :] @ w) == pytest.approx(fm[0, 1, :] @ w, rel=0.08)
+
+
+def test_collision_forcing_unbiased(atm):
+    """cf_dtau collision forcing (MCARaTS Rad_cf_* counterpart) leaves the
+    radiance expectation unchanged."""
+    from er3t_tpu.pre.abs import abs_synthetic
+    from er3t_tpu.pre.cld import cld_gen_hem
+    from er3t_tpu.rtm.scene import build_scene
+    from er3t_tpu.rtm.mc import SolverConfig
+    from er3t_tpu.rtm.mc_flight import run_transport_flight
+
+    atm_f = atm_atmmod(np.concatenate([np.arange(0, 3.0, 0.5),
+                                       np.arange(3.0, 20.1, 2.0)]))
+    ab = abs_synthetic(650.0, atm_f)
+    cld = cld_gen_hem(nx=32, ny=32, nz=4, dx=0.2, dy=0.2, dz=0.5,
+                      cloud_frac_tgt=0.3, radii=(0.8, 1.6), cot_scale=12.0,
+                      cloud_base=0.5, seed=3)
+    scene, st = build_scene(atm_f, ab, cld=cld, surface=0.05,
+                            solar_zenith_angle=30.0, solar_azimuth_angle=45.0,
+                            forward_trunc_deg=20.0)
+    out = {}
+    for cf in (0.0, 2.0):
+        cfg = SolverConfig(target='radiance', batch=1 << 13, tile_size=8,
+                           n_scat_max=500, cf_dtau=cf)
+        t = run_transport_flight(scene, st, cfg, 250_000, seed=14,
+                                 rng_impl='threefry2x32')
+        out[cf] = (np.asarray(t.rad) @ ab.weight) / int(t.n_launched)
+    assert out[2.0].mean() == pytest.approx(out[0.0].mean(), rel=0.03)
