@@ -3,9 +3,10 @@
 TPU performance notes driving this design (measured on v5e):
 
 * Random gathers cost ~6 ns/row regardless of row width — the dominant cost
-  of any MC kernel on TPU.  This kernel performs ~3 gathers per iteration:
-  one packed voxel fetch (ext, ssa, phase-row, column-cum-ext in one row),
-  and two nearest-bin phase-LUT fetches at scattering events.
+  of any MC kernel on TPU.  This kernel performs ~4 gathers per iteration:
+  a per-tile majorant column, one packed voxel fetch (ext, ssa, phase-row,
+  column-cum-ext in one row), and two nearest-bin phase-LUT fetches at
+  scattering events — measured ~80% of the gather-throughput roof.
 * Layer-indexed 1D lookups are eliminated: free paths through the layered
   majorant are inverted analytically with (B, Nz) *elementwise* cumulative
   sums (a whole multi-layer flight per iteration, vs one layer/event per
