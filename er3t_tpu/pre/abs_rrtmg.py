@@ -105,6 +105,14 @@ class abs_rrtmg_sw:
             k_min_upp = v('AbsorptionCoefficientsUpperAtmos')[0, ib, :, :ng]
             k_h2o_self = v('H2OSelfAbsorptionCoefficients')[0, ib, :ng]
             k_h2o_fore_low = v('H2OForeignAbsorptionCoefficientsLowerAtmos')[0, ib, :ng]
+            try:
+                k_h2o_fore_upp = v('H2OForeignAbsorptionCoefficientsUpperAtmos')[0, ib, :ng]
+            except Exception:
+                k_h2o_fore_upp = None
+            try:   # foreign-continuum temperature axis
+                t_fore = np.asarray(v('TemperatureH2OForeign'), dtype=np.float64)
+            except Exception:
+                t_fore = None
 
             p_low = np.asarray(v('PressureLowerAtmos'), dtype=np.float64)
             p_upp = np.asarray(v('PressureUpperAtmos'), dtype=np.float64)
@@ -187,13 +195,25 @@ class abs_rrtmg_sw:
                                + fe * k_min[igas, :, itt + 1, ie + 1]))
                 abso[iz] += np.clip(km, 0.0, None) * ncol
 
-            # H2O continuum
+            # H2O continuum: self term (lower atmosphere only) over its own
+            # T axis; foreign term interpolated over the foreign T axis with
+            # the upper-atmosphere foreign table applied above p_split
             n_h2o = col('h2o')[iz]
             if n_h2o > 0:
                 its, fts = _lin(t_self, t_lay[iz])
                 ks = (1 - fts) * k_h2o_self[:, its] + fts * k_h2o_self[:, its + 1]
                 abso[iz] += np.clip(ks, 0.0, None) * n_h2o * (1.0 if lower else 0.0)
-                kf = k_h2o_fore_low[:, min(k_h2o_fore_low.shape[1] - 1, 0)]
+                use_low = lower or k_h2o_fore_upp is None
+                kf_tab = k_h2o_fore_low if use_low else k_h2o_fore_upp
+                ncol_f = kf_tab.shape[1]
+                if t_fore is not None and ncol_f > 1 and t_fore.size >= ncol_f:
+                    # lower table spans the first foreign temperatures, the
+                    # upper table the last ones (RRTMG_SW table layout)
+                    t_ax = t_fore[:ncol_f] if use_low else t_fore[-ncol_f:]
+                    ifo, ffo = _lin(t_ax, t_lay[iz])
+                    kf = (1 - ffo) * kf_tab[:, ifo] + ffo * kf_tab[:, ifo + 1]
+                else:
+                    kf = kf_tab[:, 0]
                 abso[iz] += np.clip(kf, 0.0, None) * n_h2o
 
         weight = RRTMG_SW_WEIGHTS[:ng].copy()

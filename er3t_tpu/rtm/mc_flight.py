@@ -225,9 +225,11 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         return ixl, iyl
 
     def phase_eval(apf, mu, first=None):
-        """P(mu) local-estimate row; ``first`` (nscat==0) selects the TMS
-        half of the table — exact Nakajima-Tanaka single scattering under
-        delta-truncation (see pre/pha.py PhaseTable.p_tms)."""
+        """P(mu) local-estimate row; ``first`` (the photon has never
+        scattered or reflected — the ``direct`` flag, same criterion as
+        rtm.mc) selects the TMS half of the table — exact Nakajima-Tanaka
+        single scattering under delta-truncation (see pre/pha.py
+        PhaseTable.p_tms)."""
         row = apf if first is None else apf + jnp.where(first, n_pf, 0)
         i0 = jnp.clip((((mu + 1.0) * 0.5 * (n_m - 1)) + 0.5).astype(jnp.int32),
                       0, n_m - 1)
@@ -331,6 +333,36 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
             cum_dn = jnp.cumsum(od[:, ::-1], axis=1)[:, ::-1]
             cum = jnp.where(going_up[:, None], cum_up, cum_dn)
             total_od = jnp.where(going_up, cum_up[:, -1], cum_dn[:, 0])
+            s_exit = jnp.sum(seg, axis=1)
+
+            # clampability must be known BEFORE the forcing draw: a forced
+            # flight that later gets clamped (tile or slab face) would reach
+            # the face with the truncated-exponential survival probability
+            # instead of the true exp(-tau_face) — a systematic bias for all
+            # post-clamp transport.  Forcing is therefore restricted to
+            # flights that cannot clamp (exactness is preserved: unclampable
+            # thin upward flights either collide or escape to TOA).
+            clampable = jnp.zeros(B, bool)
+            if use_tiles and not st.ipa:
+                txp, typ = ixm // tile, iym // tile
+                tx_lo = x_off + (txp * tile) * st.dx + offx
+                tx_hi = x_off + jnp.minimum((txp + 1) * tile, nx_loc) * st.dx + offx
+                ty_lo = (typ * tile) * st.dy + offy
+                ty_hi = jnp.minimum((typ + 1) * tile, st.ny) * st.dy + offy
+                sfx = jnp.where(ux > 1e-7, (tx_hi - x) / ux,
+                                jnp.where(ux < -1e-7, (tx_lo - x) / ux, 3e38))
+                sfy = jnp.where(uy > 1e-7, (ty_hi - y) / uy,
+                                jnp.where(uy < -1e-7, (ty_lo - y) / uy, 3e38))
+                s_tile = jnp.maximum(jnp.minimum(sfx, sfy), 0.0)
+                can_clamp = active & (s_tile < sd_out)
+                if cfg.p3d_order > 0:
+                    can_clamp = can_clamp & (nscat < cfg.p3d_order)
+                clampable = clampable | can_clamp
+            if slab is not None:
+                s_face_pre = jnp.where(
+                    ux > 1e-7, (x_off + lx_loc - x) / ux,
+                    jnp.where(ux < -1e-7, (x_off - x) / ux, 1e30))
+                clampable = clampable | (jnp.maximum(s_face_pre, 0.0) < s_exit)
 
             if cfg.cf_dtau > 0 and radiance:
                 # collision forcing (MCARaTS Rad_cf_*): thin UPWARD flights
@@ -338,7 +370,7 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                 # 1-exp(-OD) — exact because the alternative outcome (TOA
                 # escape) contributes nothing; downward flights keep their
                 # natural surface hit (deposit + bounce)
-                thin = active & going_up & (total_od < cfg.cf_dtau)
+                thin = active & going_up & (total_od < cfg.cf_dtau) & ~clampable
                 surv = -jnp.expm1(-total_od)
                 tau_f = -jnp.log1p(-u[:, 11] * surv)
                 tau_use = jnp.where(thin, tau_f, tau)
@@ -378,21 +410,9 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
             # clamp flights at the faces of the deck-entry tile, only while
             # inside the deck z-range; disabled for pinned lanes (partial-3D
             # high orders), whose medium no longer varies with position.
-            # Faces are unwrapped into the ray frame (offx/offy) so periodic
-            # wrapping cannot produce a face behind the origin.
-            txp, typ = ixm // tile, iym // tile
-            tx_lo = x_off + (txp * tile) * st.dx + offx
-            tx_hi = x_off + jnp.minimum((txp + 1) * tile, nx_loc) * st.dx + offx
-            ty_lo = (typ * tile) * st.dy + offy
-            ty_hi = jnp.minimum((typ + 1) * tile, st.ny) * st.dy + offy
-            sfx = jnp.where(ux > 1e-7, (tx_hi - x) / ux,
-                            jnp.where(ux < -1e-7, (tx_lo - x) / ux, 3e38))
-            sfy = jnp.where(uy > 1e-7, (ty_hi - y) / uy,
-                            jnp.where(uy < -1e-7, (ty_lo - y) / uy, 3e38))
-            s_tile = jnp.maximum(jnp.minimum(sfx, sfy), 0.0)
-            can_clamp = active & (s_tile < sd_out)
-            if cfg.p3d_order > 0:
-                can_clamp = can_clamp & (nscat < cfg.p3d_order)
+            # Faces are unwrapped into the ray frame (offx/offy, computed
+            # above with the clampability test) so periodic wrapping cannot
+            # produce a face behind the origin.
             tclamp = can_clamp & (s_tile < s_star)
             s_star = jnp.where(tclamp, s_tile, s_star)
             collided = collided & ~tclamp
@@ -564,7 +584,7 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                 r_cam = jnp.maximum(r_cam, cfg.cam_rmin)
                 wsx_c, wsy_c, wsz_c = dxs / r_cam, dys / r_cam, dzs / r_cam
                 mu_sc = ux * wsx_c + uy * wsy_c + uz * wsz_c
-                pval = phase_eval(apf, mu_sc, first=nscat == 0)
+                pval = phase_eval(apf, mu_sc, first=direct)
                 if st.has_3d:
                     tau3_below = jnp.where(
                         l_col < st.iz3l, 0.0,
@@ -603,7 +623,7 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                                   .astype(jnp.int32), 0, nyr - 1)
             else:
                 mu_sc = ux * sx + uy * sy + uz * mu_s
-                pval = phase_eval(apf, mu_sc, first=nscat == 0)
+                pval = phase_eval(apf, mu_sc, first=direct)
                 t_sens = jnp.exp(labs[:, :ng] - tau_sens_abs
                                  - (tau_sens_sig + tau3_above)[:, None])
                 c_vol = (wsc * ssa_ev * pval / (4.0 * jnp.pi * mu_s))[:, None] * t_sens

@@ -329,6 +329,7 @@ class modis_07:
     def __init__(self, fnames=None, extent=None):
         self.extent = extent
         acc = {k: [] for k in ('lon', 'lat', *self._VARS)}
+        p_lev = None      # first non-None Pressure_Levels across granules
         for fname in np.atleast_1d(fnames):
             f = open_any(fname)
             try:
@@ -347,10 +348,11 @@ class modis_07:
                         acc[key].append(np.moveaxis(d, 0, -1)[sel])
                     else:
                         acc[key].append(np.asarray(d)[sel])
-                try:
-                    p_lev, _ = f.var('Pressure_Levels')
-                except Exception:
-                    p_lev = None
+                if p_lev is None:
+                    try:
+                        p_lev, _ = f.var('Pressure_Levels')
+                    except Exception:
+                        p_lev = None
             finally:
                 f.close()
         self.data = {k: _entry(np.concatenate(v) if v else np.array([]),
