@@ -16,7 +16,10 @@ lanes that could not be placed simply retry next round (backpressure).
 
 Per superstep: K inner transport iterations, then a right-swap and a
 left-swap.  Tallies stay slab-local (nadir sensor ⇒ image pixels partition
-with the slabs) and concatenate on exit; only `launched` crosses devices.
+with the slabs; per-column level-crossing flux tallies partition the same
+way) and concatenate on exit; domain-average flux takes one psum.  The
+reference runs both radiance and flux workloads under its MPI fan-out
+(er3t/rtm/mca/mca_run.py:110-113) — this path covers the same target set.
 """
 
 from __future__ import annotations
@@ -56,15 +59,31 @@ def _unpack(m: jnp.ndarray, c: FlightCarry) -> FlightCarry:
 def transport_decomp(scene, st, cfg: SolverConfig, n_photon: int, mesh,
                      seed: int = 0, k_super: int = 64, window: int | None = None,
                      max_rounds: int | None = None) -> Tallies:
-    """Run radiance transport with the scene x-decomposed over mesh axis 'x'.
+    """Run transport with the scene x-decomposed over mesh axis 'x'.
 
     ``scene``/``st`` describe the *global* scene; arrays are sharded here.
-    Requires a nadir-ish sensor (slab-local local-estimation paths).
-    Returns global tallies (image gathered across slabs).
+    Supports radiance (nadir satellite sensor), flux and heating-rate
+    targets — per-column flux tallies partition with the slabs; the
+    domain-average flux takes one psum.  Returns global tallies (image /
+    per-column flux gathered across slabs).
     """
     n_dev = mesh.shape['x']
     if st.nx % n_dev:
         raise ValueError('nx must divide the decomposition axis')
+    radiance = cfg.target == 'radiance'
+    if cfg.sensor_type == 'camera':
+        raise NotImplementedError(
+            'transport_decomp does not support camera sensors: a fisheye '
+            'point estimator needs attenuation paths through remote slabs; '
+            'run cameras on the photon-parallel path (dist.photon) instead')
+    if radiance and abs(cfg.sensor_zenith) > 1e-6:
+        raise NotImplementedError(
+            'transport_decomp requires a nadir sensor (sensor_zenith=0): '
+            'slant local-estimation paths project image pixels across slab '
+            'boundaries; use dist.photon for slant sensors')
+    if cfg.pathlength:
+        raise NotImplementedError(
+            'pathlength statistics are not carried through photon migration')
     nx_loc = st.nx // n_dev
     st_loc = dataclasses.replace(st, nx=nx_loc)
     slab = SlabSpec(nx_global=st.nx, nx_local=nx_loc)
@@ -125,10 +144,31 @@ def transport_decomp(scene, st, cfg: SolverConfig, n_photon: int, mesh,
         launched = jax.lax.psum(jax.lax.psum(c.launched, 'x'), 'b')
         steps = jax.lax.psum(jax.lax.psum(c.step, 'x'), 'b')
         rad = jax.lax.psum(c.rad, 'b').reshape(nx_loc, st.ny, st.ng)
-        flux = jnp.zeros((1, 1, st.nz + 1, 3, st.ng), _F)
+        nlev = st.nz + 1
+        if radiance:
+            flux = jnp.zeros((1, 1, nlev, 3, st.ng), _F)
+        elif cfg.flux_per_column:
+            # level-crossing tallies are slab-local (crossings are indexed by
+            # the local column at the crossing point); reduce only over the
+            # photon-stream axis and gather slabs via the output sharding
+            n_rows = nx_loc * st.ny * nlev * 3
+            flux = c.flux.reshape(-1, st.ng)[:n_rows].reshape(
+                nx_loc, st.ny, nlev, 3, st.ng)
+            # deterministic TOA down-direct entry: photons spawn uniformly in
+            # the local slab, one crossing per local launch
+            flux = flux.at[:, :, st.nz, 0, :].add(
+                c.launched.astype(_F) / (nx_loc * st.ny))
+            flux = jax.lax.psum(flux, 'b')
+        else:
+            flux = c.flux.reshape(-1, st.ng)[:nlev * 3].reshape(
+                1, 1, nlev, 3, st.ng)
+            flux = jax.lax.psum(jax.lax.psum(flux, 'x'), 'b')
+            flux = flux.at[:, :, st.nz, 0, :].add(launched.astype(_F))
         return Tallies(rad=rad, flux=flux, n_launched=launched, n_steps=steps)
 
-    out_specs = Tallies(rad=P('x'), flux=P(), n_launched=P(), n_steps=P(), rad_plen=P())
+    flux_spec = P('x') if (not radiance and cfg.flux_per_column) else P()
+    out_specs = Tallies(rad=P('x'), flux=flux_spec, n_launched=P(),
+                        n_steps=P(), rad_plen=P())
     fn = jax.jit(jax.shard_map(worker, mesh=mesh, in_specs=(in_specs,),
                                out_specs=out_specs, check_vma=False))
     return fn(scene)

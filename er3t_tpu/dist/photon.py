@@ -39,12 +39,16 @@ def transport_photon_parallel(scene, st, cfg: SolverConfig, n_photon: int,
         def worker(scene, seed_me):
             key = jax.random.fold_in(jax.random.key(seed), seed_me.reshape(())[()])
             tal = transport_flight(scene, st, cfg, n_per, key)
-            rad, n, n_s = tal.rad, tal.n_launched, tal.n_steps
+            rad, flux, n = tal.rad, tal.flux, tal.n_launched
+            n_s, rpl = tal.n_steps, tal.rad_plen
             for a in axis_names:
                 rad = jax.lax.psum(rad, a)
+                flux = jax.lax.psum(flux, a)
                 n = jax.lax.psum(n, a)
                 n_s = jax.lax.psum(n_s, a)
-            return Tallies(rad=rad, flux=tal.flux, n_launched=n, n_steps=n_s)
+                rpl = jax.lax.psum(rpl, a)
+            return Tallies(rad=rad, flux=flux, n_launched=n, n_steps=n_s,
+                           rad_plen=rpl)
 
         return jax.shard_map(
             worker, mesh=mesh,

@@ -85,6 +85,13 @@ class SolverConfig:
     #                                     'marching' (event-marching kernel,
     #                                     one crossing per iteration — the
     #                                     bitwise reference path)
+    flux_kcross: int = 4               # per-column flux (flight engine):
+    #                                     clamp each flight at its k-th level
+    #                                     crossing so the tally scatter is
+    #                                     bounded to k rows/lane/iteration
+    #                                     (exact by memorylessness); 0 = one
+    #                                     (B, Nz+1) scatter per iteration
+    #                                     (the round-1 bottleneck path)
     tile_size: int = 0                 # >0: per-tile scattering majorants in
     #                                     the flight kernel (tile_size^2
     #                                     columns per tile) — the counterpart
@@ -92,6 +99,13 @@ class SolverConfig:
     #                                     super-voxels (Atm_mcs_*,
     #                                     mca_inp.py:236-239); cuts null
     #                                     collisions in broken-cloud scenes
+    split_wmax: float = 0.0            # >0: photon splitting / weight window
+    #                                     (MCARaTS Pho_wmax/wfac,
+    #                                     mca_inp.py:193-199): lanes whose
+    #                                     best-case weight exceeds this split
+    #                                     in two (the copy fills a dead lane,
+    #                                     total weight preserved — unbiased);
+    #                                     repeated splits give higher factors
     cam_xpos: float = 0.5              # camera position, domain fractions
     cam_ypos: float = 0.5              # (MCARaTS Rad_xpos/ypos)
     cam_zloc: float = 0.0              # camera altitude [m] (Rad_zloc);

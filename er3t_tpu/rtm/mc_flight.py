@@ -113,6 +113,8 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
     nxf, nyf = (st.nx, st.ny) if (not radiance and cfg.flux_per_column) \
         else (1, 1)
     nlev = nz + 1
+    per_col = nxf * nyf > 1
+    kx = int(cfg.flux_kcross) if per_col else 0
     if slab is None:
         nx_glob = st.nx
         x_off = jnp.zeros((), _F)
@@ -259,6 +261,46 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         u = jax.random.uniform(k_iter, (B, 12), dtype=_F,
                                minval=1e-7, maxval=1.0 - 1e-7)
 
+        if cfg.split_wmax > 0:
+            # ---- photon splitting / weight window (MCARaTS Pho_wmax/wfac,
+            # mca_inp.py:193-199) ----
+            # Lanes whose best-case weight exceeds the window split in two:
+            # the j-th dead lane receives a copy of the j-th splitting lane
+            # (stable-sort pairing), both at half weight.  Total weight is
+            # preserved (unbiased); the two copies evolve independently from
+            # fresh per-lane randomness, reducing the variance of
+            # deep-scattering contributions per launched photon.
+            wmax_c = c.wsc * jnp.exp(c.labs[:, ng])
+            want = c.alive & (wmax_c > cfg.split_wmax)
+            dead0 = ~c.alive
+            order = jnp.argsort(jnp.where(want, 0, 1).astype(jnp.int32),
+                                stable=True)
+            n_cp = jnp.minimum(jnp.sum(want.astype(jnp.int32)),
+                               jnp.sum(dead0.astype(jnp.int32)))
+            drank = jnp.cumsum(dead0.astype(jnp.int32)) - 1
+            src = order[jnp.clip(drank, 0, B - 1)]
+            do_cp = dead0 & (drank < n_cp)
+            srank = jnp.cumsum(want.astype(jnp.int32)) - 1
+            halve = want & (srank < n_cp)
+            wsc_h = jnp.where(halve, c.wsc * 0.5, c.wsc)
+
+            def _cp(f):
+                return jnp.where(do_cp, f[src], f)
+
+            u_sp = jax.random.uniform(
+                jax.random.fold_in(key, c.step + (1 << 30)), (B,), dtype=_F,
+                minval=1e-7, maxval=1.0 - 1e-7)
+            c = c._replace(
+                x=_cp(c.x), y=_cp(c.y), z=_cp(c.z), ux=_cp(c.ux),
+                uy=_cp(c.uy), uz=_cp(c.uz),
+                wsc=jnp.where(do_cp, wsc_h[src], wsc_h),
+                labs=jnp.where(do_cp[:, None], c.labs[src], c.labs),
+                tau=jnp.where(do_cp, -jnp.log(u_sp), c.tau),
+                nscat=_cp(c.nscat), ix0=_cp(c.ix0), iy0=_cp(c.iy0),
+                plen=_cp(c.plen),
+                direct=jnp.where(do_cp, c.direct[src], c.direct),
+                alive=c.alive | do_cp)
+
         # ---------------- respawn (into the local slab) ----------------
         dead = ~c.alive
         quota = n_photon - c.launched
@@ -364,12 +406,22 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                     jnp.where(ux < -1e-7, (x_off - x) / ux, 1e30))
                 clampable = clampable | (jnp.maximum(s_face_pre, 0.0) < s_exit)
 
-            if cfg.cf_dtau > 0 and radiance:
-                # collision forcing (MCARaTS Rad_cf_*): thin UPWARD flights
-                # collide from a truncated exponential with weight
-                # 1-exp(-OD) — exact because the alternative outcome (TOA
-                # escape) contributes nothing; downward flights keep their
-                # natural surface hit (deposit + bounce)
+            if per_col and kx > 0:
+                # crossing-count clamp is a clamp too (see zclamp below)
+                n_below = jnp.sum((z_lev[None, :] < z[:, None]).astype(jnp.int32), axis=1)
+                n_le = jnp.sum((z_lev[None, :] <= z[:, None]).astype(jnp.int32), axis=1)
+                n_to_exit = jnp.where(going_up, nz + 1 - n_le, n_below)
+                clampable = clampable | (n_to_exit > kx)
+
+            if cfg.cf_dtau > 0:
+                # collision forcing (MCARaTS Rad_cf_*, Flx_cf_dtau): thin
+                # UPWARD flights collide from a truncated exponential with
+                # weight 1-exp(-OD).  Exact for radiance because the
+                # alternative outcome (TOA escape) contributes nothing; for
+                # flux targets the escape outcome's level crossings (and the
+                # TOA exit) ARE tallied, deterministically, with the escape
+                # probability exp(-OD) as weight (see the tally section).
+                # Downward flights keep their natural surface hit.
                 thin = active & going_up & (total_od < cfg.cf_dtau) & ~clampable
                 surv = -jnp.expm1(-total_od)
                 tau_f = -jnp.log1p(-u[:, 11] * surv)
@@ -420,9 +472,43 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         else:
             tclamp = jnp.zeros(B, bool)
 
-        if cfg.cf_dtau > 0 and radiance:
+        if kx > 0:
+            # ---- crossing-count clamp (per-column flux only) ----
+            # A flight's level crossings are contiguous in level, so the k-th
+            # crossing level is an affine function of the first.  Clamping
+            # the flight at its kx-th crossing bounds the per-column tally
+            # scatter to kx rows/lane/iteration instead of Nz+1 — the
+            # 480x480 per-column scatter was ~200x slower than the radiance
+            # path (BENCH_NOTES round 1).  Exact by memorylessness: tau is
+            # resampled every iteration, like tile and slab clamps.
+            k_iota = jax.lax.broadcasted_iota(jnp.int32, (B, kx), 1)
+            lev_k = jnp.where(going_up[:, None], n_le[:, None] + k_iota,
+                              n_below[:, None] - 1 - k_iota)
+            lev_ok = (lev_k >= 0) & (lev_k <= nz)
+            lev_c = jnp.clip(lev_k, 0, nz)
+            oh_k = (jax.lax.broadcasted_iota(jnp.int32, (B, kx, nlev), 2)
+                    == lev_c[:, :, None]).astype(_F)
+            s_cross_all = (z_lev[None, :] - z[:, None]) * inv_uz[:, None]
+            s_k = jnp.einsum('bkl,bl->bk', oh_k, s_cross_all)
+            z_k = jnp.einsum('bkl,l->bk', oh_k, z_lev)
+            # stop at the kx-th crossing when it lies strictly inside the
+            # flight and strictly inside the domain (boundary crossings
+            # terminate the flight through the usual hit_sfc/exit_toa path)
+            s_zc = s_k[:, -1]
+            zclamp = active & lev_ok[:, -1] & (lev_k[:, -1] > 0) \
+                & (lev_k[:, -1] < nz) & (s_zc > 0.0) & (s_zc < s_star)
+            s_star = jnp.where(zclamp, s_zc, s_star)
+            collided = collided & ~zclamp
+            clamped = clamped & ~zclamp
+            tclamp = tclamp & ~zclamp
+        else:
+            zclamp = jnp.zeros(B, bool)
+
+        if cfg.cf_dtau > 0:
             # forcing weight applies once the collision survived clamping,
-            # BEFORE local estimates (the deposit carries it)
+            # BEFORE local estimates / crossing tallies (the deposit carries
+            # it); wsc_pre feeds the deterministic escape branch below
+            wsc_pre = wsc
             wsc = jnp.where(thin & collided, wsc * surv, wsc)
 
         # traveled path per layer, valid for collided/exit/clamped alike
@@ -433,14 +519,61 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
             trav = jnp.where(active[:, None], trav, 0.0)
 
         flux = c.flux
-        if not radiance:
+        term = active & ~collided & ~clamped & ~tclamp & ~zclamp
+        if not radiance and kx > 0:
+            # ---- compact per-crossing tally (kx rows/lane; zclamp above
+            # guarantees every crossing of the flight fits the window) ----
+            final_k = (zclamp[:, None] & (k_iota == kx - 1)) \
+                | ((term & ~going_up)[:, None] & (lev_k == 0)) \
+                | ((term & going_up)[:, None] & (lev_k == nz))
+            tally_k = active[:, None] & lev_ok & (s_k > 0.0) \
+                & ((s_k < s_star[:, None]) | final_k)
+            # gas absorption along the flight to crossing k: layers fully
+            # traversed before it (below lev_k going up / above going down),
+            # contracted on the MXU — no (B, Nz, Ng) materialization
+            l_iota3 = jax.lax.broadcasted_iota(jnp.int32, (B, kx, nz), 2)
+            mask_k = jnp.where(going_up[:, None, None],
+                               l_iota3 < lev_c[:, :, None],
+                               l_iota3 >= lev_c[:, :, None]).astype(_F)
+            a_k = jnp.dot((mask_k * trav[:, None, :]).reshape(B * kx, nz),
+                          scene.kabs,
+                          preferred_element_type=_F).reshape(B, kx, ng)
+            w_k = (wsc[:, None, None] * jnp.exp(labs[:, None, :ng] - a_k)
+                   * tally_k[:, :, None].astype(_F))
+            if cfg.cf_dtau > 0:
+                # deterministic escape branch of forced flights: every
+                # remaining crossing (incl. the TOA exit; forced lanes are
+                # unclampable, so all fit the kx window) weighted by the
+                # escape probability exp(-OD), absorption over the FULL
+                # flight path (seg, not the collision-truncated trav)
+                a2_k = jnp.dot((mask_k * seg[:, None, :]).reshape(B * kx, nz),
+                               scene.kabs,
+                               preferred_element_type=_F).reshape(B, kx, ng)
+                esc_k = thin[:, None] & lev_ok & (s_k > 0.0)
+                w_k = w_k + ((wsc_pre * jnp.exp(-total_od))[:, None, None]
+                             * jnp.exp(labs[:, None, :ng] - a2_k)
+                             * esc_k[:, :, None].astype(_F))
+            xc = (x[:, None] + ux[:, None] * s_k) % lx_glob
+            yc = (y[:, None] + uy[:, None] * s_k) % ly
+            if st.ipa:
+                ixc = jnp.broadcast_to(ix0[:, None], (B, kx))
+                iyc = jnp.broadcast_to(iy0[:, None], (B, kx))
+            else:
+                ixc = local_ix(xc)
+                iyc = jnp.floor(yc / st.dy).astype(jnp.int32) % st.ny
+            chi = jnp.where(going_up, 2, jnp.where(direct, 0, 1))[:, None]
+            pidx = (((ixc * nyf + iyc) * nlev + lev_c) * 3 + chi).reshape(-1)
+            # 8-fold row packing (see rtm.mc): 128-lane tally rows
+            sub = jax.nn.one_hot(pidx % 8, 8, dtype=_F)
+            upd = sub[:, :, None] * w_k.reshape(B * kx, 1, ng)
+            flux = flux.at[pidx // 8].add(upd.reshape(B * kx, 8 * ng))
+        elif not radiance:
             # ---- level-crossing flux tallies for the whole flight ----
             # crossing distances to every level; the terminal surface/TOA
             # crossing (s_star exactly on the boundary) is added explicitly
             # so f32 rounding cannot drop or double-count it
             s_cross = (z_lev[None, :] - z[:, None]) * inv_uz[:, None]
             lev_iota = jax.lax.broadcasted_iota(jnp.int32, (B, nlev), 1)
-            term = active & ~collided & ~clamped & ~tclamp
             crossed = (active[:, None] & (s_cross > 0.0)
                        & (s_cross < s_star[:, None])) \
                 | ((term & ~going_up)[:, None] & (lev_iota == 0)) \
@@ -455,6 +588,17 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
             w_x = (wsc[:, None, None]
                    * jnp.exp(labs[:, None, :ng] - a_x)
                    * crossed[:, :, None].astype(_F))            # (B,Nlev,Ng)
+            if cfg.cf_dtau > 0:
+                # deterministic escape branch of forced flights (see the
+                # compact path above): absorption over the FULL flight path
+                ee_f = seg[:, :, None] * scene.kabs[None, :, :]
+                a_up_f = jnp.concatenate(
+                    [jnp.zeros((B, 1, ng), _F), jnp.cumsum(ee_f, axis=1)],
+                    axis=1)
+                esc = thin[:, None] & (s_cross > 0.0)
+                w_x = w_x + ((wsc_pre * jnp.exp(-total_od))[:, None, None]
+                             * jnp.exp(labs[:, None, :ng] - a_up_f)
+                             * esc[:, :, None].astype(_F))
             if nxf * nyf == 1:
                 chm = jnp.stack([~going_up & direct, ~going_up & ~direct,
                                  going_up], axis=0).astype(_F)  # (3, B)
@@ -499,8 +643,15 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                               % lx_glob, x)
                 y = jnp.where(cyt, (yf + jnp.sign(uy) * 1e-3 * st.dy) % ly, y)
         z = jnp.where(active, jnp.clip(z + uz * s_star, 0.0, z_top), z)
-        hit_sfc = active & ~collided & ~clamped & ~tclamp & ~going_up
-        exit_toa = active & ~collided & ~clamped & ~tclamp & going_up
+        if kx > 0:
+            # crossing-count-clamped lanes stop EXACTLY on the level: the
+            # strict (<) / non-strict (<=) level counts above then place the
+            # next flight's first crossing one level further in the travel
+            # direction, so f32 rounding can neither drop nor double-count
+            # the boundary crossing
+            z = jnp.where(zclamp, z_k[:, -1], z)
+        hit_sfc = term & ~going_up
+        exit_toa = term & going_up
         z = jnp.where(hit_sfc, 0.0, z)
 
         # vertical path per layer toward the sensor: above the event for a

@@ -83,7 +83,8 @@ class Result:
                        n_run=int(f.attrs['n_run']))
 
 
-def _single_run(scene, static, cfg, n_photon, seed, chunk=4_000_000):
+def _single_run(scene, static, cfg, n_photon, seed, chunk=4_000_000,
+                mesh=None):
     """One independent MC pass, split into bounded device calls.
 
     Chunking keeps each jitted while-loop execution short (tens of seconds),
@@ -92,11 +93,32 @@ def _single_run(scene, static, cfg, n_photon, seed, chunk=4_000_000):
     Both targets default to the flight kernel (er3t_tpu.rtm.mc_flight);
     SolverConfig.flux_engine='marching' selects the event-marching kernel
     (the bitwise reference path).
+
+    ``mesh``: a jax.sharding.Mesh with ('x', 'b') axes routes the run to the
+    dist layer — x-slab domain decomposition with photon migration when the
+    'x' axis is >1 (er3t_tpu.dist.decomp), pure photon parallelism otherwise
+    (er3t_tpu.dist.photon).
     """
     from .mc_flight import run_transport_flight
     use_flight = cfg.target == 'radiance' or cfg.flux_engine == 'flight'
-    runner = run_transport_flight if use_flight else mc.run_transport
-    rad = flux = None
+    if mesh is not None:
+        if dict(mesh.shape).get('x', 1) > 1:
+            from ..dist.decomp import transport_decomp
+
+            def runner(scene, static, cfg, n_c, seed):
+                return transport_decomp(scene, static, cfg, n_c, mesh,
+                                        seed=seed)
+        else:
+            from ..dist.photon import transport_photon_parallel
+
+            def runner(scene, static, cfg, n_c, seed):
+                return transport_photon_parallel(scene, static, cfg, n_c,
+                                                 mesh, seed=seed)
+    elif use_flight:
+        runner = run_transport_flight
+    else:
+        runner = mc.run_transport
+    rad = flux = rad_pl = None
     n_total = 0
     remaining = int(n_photon)
     i = 0
@@ -105,23 +127,61 @@ def _single_run(scene, static, cfg, n_photon, seed, chunk=4_000_000):
         tal = runner(scene, static, cfg, n_c, seed=seed + 7919 * i)
         rad = np.asarray(tal.rad) if rad is None else rad + np.asarray(tal.rad)
         flux = np.asarray(tal.flux) if flux is None else flux + np.asarray(tal.flux)
+        if cfg.pathlength:
+            rad_pl = np.asarray(tal.rad_plen) if rad_pl is None \
+                else rad_pl + np.asarray(tal.rad_plen)
         n_total += int(tal.n_launched)
         remaining -= n_c
         i += 1
-    return rad, flux, n_total
+    return rad, flux, n_total, rad_pl
 
 
 def solve(atm=None, abs_coef=None, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
-          surface=0.03, target='radiance', solver='3d',
+          surface=0.03, target='radiance', solver='3d', p3d_order=1,
           solar_zenith_angle=30.0, solar_azimuth_angle=0.0,
           sensor_zenith_angle=0.0, sensor_azimuth_angle=0.0,
+          sensor_type='satellite', camera=None,
           photons=1e6, n_run=3, date=None, seed=0, batch=None,
           spectral='correlated', flux_per_column=None, chunk=4_000_000,
-          forward_trunc_deg=None, tile_size=0):
-    """Run a full radiative-transfer simulation.
+          forward_trunc_deg=None, tile_size=0, flux_engine='flight',
+          flux_kcross=4, cf_dtau=0.0, pathlength=False, split_wmax=0.0,
+          rr_wmin=0.1, n_scat_max=2000, mesh=None):
+    """Run a full radiative-transfer simulation — the single front door.
 
-    Parameters mirror ``mcarats_ng`` (reference mcarats.py:62-231).
-    ``solver``: '3d' | 'ipa' (independent pixel, no horizontal transport).
+    Parameters mirror ``mcarats_ng`` (reference mcarats.py:62-231).  Every
+    MCARaTS namelist knob maps to a parameter here or a stated non-goal:
+
+    ============================  =======================================
+    MCARaTS namelist              solve() parameter
+    ============================  =======================================
+    Wld_mtarget=1 (flux/HR)       target='flux' | 'heating_rate'
+    Wld_mtarget=2 (radiance)      target='radiance'
+    Wld_mtarget=3 (quasi-rad)     er3t_tpu.rtm.quasi.quasi_radiance
+    solver 0/1/2 (3D/P3D/IPA)     solver='3d' | 'p3d' | 'ipa'
+    (P-3D low-order count)        p3d_order (scatters before column pinning)
+    Src_the/phi                   solar_zenith_angle/solar_azimuth_angle
+    Rad_the/phi (satellite)       sensor_zenith_angle/sensor_azimuth_angle
+    Rad_mrkind=1 + Rad_*          sensor_type='camera', camera=dict(
+                                  xpos, ypos, zloc, phi, the, psi, qmax,
+                                  npix) — fisheye; Rad_apsize: non-goal
+                                  (point aperture)
+    Rad_mplen                     pathlength=True (adds 'plen' output)
+    Rad_cf_* / Flx_cf_dtau        cf_dtau (collision forcing threshold)
+    Atm_mcs_* (super-voxels)      tile_size (per-tile majorants)
+    Pho_wmin                      rr_wmin (Russian-roulette window)
+    Pho_wmax/wfac                 split_wmax (weight-window splitting)
+    Sca_nchi/qtfmax               forward_trunc_deg (delta truncation + TMS)
+    Flx_nxb/nyb                   flux_per_column (per-column vs average)
+    Flx_diff0/1, Rad_difr0/1      er3t_tpu.rtm.out smoothing (diffusion=)
+    Nrun statistics               n_run (per-run mean/std)
+    photon fan-out / MPI          mesh= (jax.sharding.Mesh with ('x','b')
+                                  axes: 'x'>1 = x-slab domain decomposition
+                                  with photon migration, else photon-
+                                  parallel psum)
+    g-point fan-out               spectral='correlated' (all g per photon)
+                                  | 'independent' (reference protocol)
+    ============================  =======================================
+
     Returns a :class:`Result`.
     """
     if atm is None or abs_coef is None:
@@ -130,7 +190,8 @@ def solve(atm=None, abs_coef=None, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
               'rad': 'radiance', 'radiance': 'radiance',
               'hr': 'heating_rate', 'heating rate': 'heating_rate',
               'heating_rate': 'heating_rate'}[target.lower()]
-    ipa = solver.lower() in ('ipa', '1d')
+    solver = solver.lower()
+    ipa = solver in ('ipa', '1d')
 
     scene, static = build_scene(
         atm, abs_coef, cld=cld, pha=pha, aer_1ds=aer_1ds, aer_3ds=aer_3ds,
@@ -142,6 +203,11 @@ def solve(atm=None, abs_coef=None, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
         batch = 1 << 17 if jax.default_backend() != 'cpu' else 1 << 14
     if flux_per_column is None:
         flux_per_column = static.has_3d
+    cam = dict(xpos=0.5, ypos=0.5, zloc=0.0, phi=0.0, the=0.0, psi=0.0,
+               qmax=89.0, npix=64)
+    if camera:
+        cam.update(camera)
+        sensor_type = 'camera'
     cfg = mc.SolverConfig(
         target='radiance' if target == 'radiance' else 'flux',
         batch=int(batch),
@@ -149,6 +215,19 @@ def solve(atm=None, abs_coef=None, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
         sensor_azimuth=float(sensor_azimuth_angle),
         flux_per_column=bool(flux_per_column),
         tile_size=int(tile_size),
+        p3d_order=int(p3d_order) if solver == 'p3d' else 0,
+        cf_dtau=float(cf_dtau),
+        pathlength=bool(pathlength),
+        sensor_type=sensor_type,
+        flux_engine=flux_engine,
+        flux_kcross=int(flux_kcross),
+        split_wmax=float(split_wmax),
+        rr_wmin=float(rr_wmin),
+        n_scat_max=int(n_scat_max),
+        cam_xpos=float(cam['xpos']), cam_ypos=float(cam['ypos']),
+        cam_zloc=float(cam['zloc']), cam_phi=float(cam['phi']),
+        cam_the=float(cam['the']), cam_psi=float(cam['psi']),
+        cam_qmax=float(cam['qmax']), cam_npix=int(cam['npix']),
     )
 
     mu0 = float(np.cos(np.deg2rad(solar_zenith_angle)))
@@ -157,12 +236,25 @@ def solve(atm=None, abs_coef=None, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
     per_run = []
     for r in range(n_run):
         if spectral == 'correlated':
-            rad_t, flux_t, n_l = _single_run(scene, static, cfg, n_photon,
-                                             seed + 1000003 * r, chunk=chunk)
-            if target == 'radiance':
+            rad_t, flux_t, n_l, rad_pl = _single_run(
+                scene, static, cfg, n_photon, seed + 1000003 * r,
+                chunk=chunk, mesh=mesh)
+            if target == 'radiance' and sensor_type == 'camera':
+                area = (static.nx * static.dx) * (static.ny * static.dy)
+                red = out.reduce_camera_radiance(
+                    rad_t, n_l, abs_coef, mu0, domain_area_m2=area,
+                    qmax_deg=cfg.cam_qmax, date=date)
+                red.pop('solid_angle', None)
+            elif target == 'radiance':
                 red = out.reduce_radiance(rad_t, n_l, abs_coef, mu0, date=date)
             else:
                 red = out.reduce_flux(flux_t, n_l, abs_coef, mu0, date=date)
+            if pathlength and target == 'radiance':
+                with np.errstate(invalid='ignore', divide='ignore'):
+                    w = abs_coef.weight
+                    red['plen'] = np.where(rad_t @ w > 0,
+                                           (rad_pl @ w) / np.maximum(
+                                               rad_t @ w, 1e-30), 0.0)
         elif spectral == 'independent':
             red = _independent_g_run(scene, static, cfg, atm, abs_coef, target,
                                      n_photon, mu0, date, seed + 1000 * r)
@@ -194,7 +286,8 @@ def _independent_g_run(scene, static, cfg, atm, abs_coef, target,
     for g in range(ng):
         scene_g = scene._replace(kabs=scene.kabs[:, g:g + 1])
         static_g = _dc.replace(static, ng=1)
-        rad_t, flux_t, n_l = _single_run(scene_g, static_g, cfg, int(dist[g]), seed + g)
+        rad_t, flux_t, n_l, _ = _single_run(scene_g, static_g, cfg,
+                                            int(dist[g]), seed + g)
         # scale per-g tallies to the common budget normalization
         wsc = 1.0 / max(n_l, 1)
         if acc_rad is None:

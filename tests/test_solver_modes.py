@@ -170,3 +170,109 @@ def test_collision_forcing_unbiased(atm):
                                  rng_impl='threefry2x32')
         out[cf] = (np.asarray(t.rad) @ ab.weight) / int(t.n_launched)
     assert out[2.0].mean() == pytest.approx(out[0.0].mean(), rel=0.03)
+
+def test_flux_kcross_clamp_equivalence(atm):
+    """The crossing-count clamp (flux_kcross>0, bounded per-column tally
+    scatter) is exact: per-column tallies match the unclamped path and the
+    marching engine within MC noise, per channel and level."""
+    from er3t_tpu.pre.abs import abs_synthetic
+    from er3t_tpu.pre.cld import cld_gen_hom
+    from er3t_tpu.rtm.scene import build_scene
+    from er3t_tpu.rtm.mc import SolverConfig, run_transport
+    from er3t_tpu.rtm.mc_flight import run_transport_flight
+
+    ab = abs_synthetic(650.0, atm, ng=4)
+    cld = cld_gen_hom(nx=4, ny=4, nz=2, dx=1.0, dy=1.0, cot0=6.0, cer0=10.0,
+                      cloud_base=1.0, cloud_top=3.0)
+    scene, st = build_scene(atm, ab, cld=cld, surface=0.15,
+                            solar_zenith_angle=30.0)
+    n = 120_000
+    w = ab.weight
+
+    def profile(tal):
+        f = np.asarray(tal.flux) @ w
+        return f.mean(axis=(0, 1)) / int(tal.n_launched) * (st.nx * st.ny)
+
+    base = dict(target='flux', batch=1 << 12, flux_per_column=True)
+    f_k4 = profile(run_transport_flight(
+        scene, st, SolverConfig(**base, flux_kcross=4), n, seed=41))
+    f_k0 = profile(run_transport_flight(
+        scene, st, SolverConfig(**base, flux_kcross=0), n, seed=42))
+    f_mar = profile(run_transport(
+        scene, st, SolverConfig(**base), n, seed=43))
+    # TOA down-direct deterministic in all paths
+    for f in (f_k4, f_k0, f_mar):
+        assert f[-1, 0] == pytest.approx(1.0, rel=1e-4)
+    for ch in (0, 2):
+        sel = f_k0[:, ch] > 1e-3
+        np.testing.assert_allclose(f_k4[sel, ch], f_k0[sel, ch], rtol=0.06)
+        np.testing.assert_allclose(f_k4[sel, ch], f_mar[sel, ch], rtol=0.06)
+    assert f_k4[0, 1] == pytest.approx(f_mar[0, 1], rel=0.08)
+
+def test_flux_collision_forcing_unbiased(atm):
+    """Flux-mode collision forcing (MCARaTS Flx_cf_dtau counterpart): the
+    forced branch plus the deterministic escape branch leave every
+    level/channel flux expectation unchanged, in both domain-average and
+    per-column tally paths."""
+    from er3t_tpu.pre.abs import abs_synthetic
+    from er3t_tpu.pre.cld import cld_gen_hom
+    from er3t_tpu.rtm.scene import build_scene
+    from er3t_tpu.rtm.mc import SolverConfig
+    from er3t_tpu.rtm.mc_flight import run_transport_flight
+
+    ab = abs_synthetic(650.0, atm, ng=4)
+    cld = cld_gen_hom(nx=4, ny=4, nz=2, dx=1.0, dy=1.0, cot0=6.0, cer0=10.0,
+                      cloud_base=1.0, cloud_top=3.0)
+    scene, st = build_scene(atm, ab, cld=cld, surface=0.15,
+                            solar_zenith_angle=30.0)
+    n = 150_000
+    w = ab.weight
+
+    def profile(percol, cf, seed):
+        cfg = SolverConfig(target='flux', batch=1 << 12,
+                           flux_per_column=percol, cf_dtau=cf)
+        tal = run_transport_flight(scene, st, cfg, n, seed=seed)
+        f = np.asarray(tal.flux) @ w
+        return f.mean(axis=(0, 1)) / int(tal.n_launched) * \
+            (f.shape[0] * f.shape[1])
+
+    for percol in (False, True):
+        f0 = profile(percol, 0.0, 51)
+        f2 = profile(percol, 2.0, 52)
+        assert f2[-1, 0] == pytest.approx(1.0, rel=1e-4)
+        for ch in (0, 2):
+            sel = f0[:, ch] > 1e-3
+            # atol covers sub-0.01 channels (tiny direct transmission under
+            # the cloud: a ~150-count Poisson tally at this budget)
+            np.testing.assert_allclose(f2[sel, ch], f0[sel, ch], rtol=0.06,
+                                       atol=5e-4)
+        assert f2[0, 1] == pytest.approx(f0[0, 1], rel=0.08)
+
+
+def test_photon_splitting_unbiased(atm):
+    """Weight-window splitting (MCARaTS Pho_wmax/wfac counterpart) preserves
+    the radiance expectation and reduces seed-to-seed variance at a matched
+    launched-photon budget."""
+    from er3t_tpu.pre.abs import abs_synthetic
+    from er3t_tpu.pre.cld import cld_gen_hom
+    from er3t_tpu.rtm.scene import build_scene
+    from er3t_tpu.rtm.mc import SolverConfig
+    from er3t_tpu.rtm.mc_flight import run_transport_flight
+
+    ab = abs_synthetic(650.0, atm, ng=4)
+    cld = cld_gen_hom(nx=4, ny=4, nz=2, dx=1.0, dy=1.0, cot0=10.0, cer0=10.0,
+                      cloud_base=1.0, cloud_top=3.0)
+    scene, st = build_scene(atm, ab, cld=cld, surface=0.3,
+                            solar_zenith_angle=30.0)
+    n = 40_000
+    means = {0.0: [], 0.5: []}
+    for sw in (0.0, 0.5):
+        for s in range(4):
+            cfg = SolverConfig(target='radiance', batch=1 << 12,
+                               split_wmax=sw)
+            t = run_transport_flight(scene, st, cfg, n, seed=60 + s)
+            assert int(t.n_launched) == n
+            means[sw].append(float((np.asarray(t.rad) @ ab.weight).mean()
+                                   / int(t.n_launched)))
+    m0, m1 = np.mean(means[0.0]), np.mean(means[0.5])
+    assert m1 == pytest.approx(m0, rel=0.04)
