@@ -58,7 +58,7 @@ def _unpack(m: jnp.ndarray, c: FlightCarry) -> FlightCarry:
 
 def transport_decomp(scene, st, cfg: SolverConfig, n_photon: int, mesh,
                      seed: int = 0, k_super: int = 64, window: int | None = None,
-                     max_rounds: int | None = None) -> Tallies:
+                     max_rounds: int | None = None, flux_w=None) -> Tallies:
     """Run transport with the scene x-decomposed over mesh axis 'x'.
 
     ``scene``/``st`` describe the *global* scene; arrays are sharded here.
@@ -108,13 +108,18 @@ def transport_decomp(scene, st, cfg: SolverConfig, n_photon: int, mesh,
     n_b = mesh.shape.get('b', 1)
     n_per = n_per // n_b
 
-    def worker(scene_loc):
+    scalar_flux = (not radiance and cfg.flux_per_column
+                   and cfg.flux_kcross > 0 and flux_w is not None)
+    fw = jnp.asarray(flux_w, _F) if flux_w is not None else None
+
+    def worker(scene_loc, fw_loc):
         me = jax.lax.axis_index('x')
         bi = jax.lax.axis_index('b') if n_b > 1 else 0
         x_off = (me * nx_loc * st.dx).astype(_F)
         key = jax.random.fold_in(jax.random.key(seed), me * 4096 + bi)
         body, _, carry0 = make_flight_kernel(
-            scene_loc, st_loc, cfg, n_per, key, slab=slab, x_off=x_off)
+            scene_loc, st_loc, cfg, n_per, key, slab=slab, x_off=x_off,
+            flux_w=fw_loc if scalar_flux else None)
         lx_loc = nx_loc * st.dx
 
         def migrate_dir(c: FlightCarry, ring, target_fn):
@@ -151,13 +156,15 @@ def transport_decomp(scene, st, cfg: SolverConfig, n_photon: int, mesh,
             # level-crossing tallies are slab-local (crossings are indexed by
             # the local column at the crossing point); reduce only over the
             # photon-stream axis and gather slabs via the output sharding
+            ng_f = 1 if scalar_flux else st.ng
             n_rows = nx_loc * st.ny * nlev * 3
-            flux = c.flux.reshape(-1, st.ng)[:n_rows].reshape(
-                nx_loc, st.ny, nlev, 3, st.ng)
+            flux = c.flux.reshape(-1, ng_f)[:n_rows].reshape(
+                nx_loc, st.ny, nlev, 3, ng_f)
             # deterministic TOA down-direct entry: photons spawn uniformly in
             # the local slab, one crossing per local launch
+            toa1 = jnp.sum(fw_loc[st.nz]) if scalar_flux else jnp.ones((), _F)
             flux = flux.at[:, :, st.nz, 0, :].add(
-                c.launched.astype(_F) / (nx_loc * st.ny))
+                c.launched.astype(_F) * toa1 / (nx_loc * st.ny))
             flux = jax.lax.psum(flux, 'b')
         else:
             flux = c.flux.reshape(-1, st.ng)[:nlev * 3].reshape(
@@ -169,6 +176,8 @@ def transport_decomp(scene, st, cfg: SolverConfig, n_photon: int, mesh,
     flux_spec = P('x') if (not radiance and cfg.flux_per_column) else P()
     out_specs = Tallies(rad=P('x'), flux=flux_spec, n_launched=P(),
                         n_steps=P(), rad_plen=P())
-    fn = jax.jit(jax.shard_map(worker, mesh=mesh, in_specs=(in_specs,),
+    fn = jax.jit(jax.shard_map(worker, mesh=mesh, in_specs=(in_specs, P()),
                                out_specs=out_specs, check_vma=False))
-    return fn(scene)
+    if fw is None:
+        fw = jnp.zeros((st.nz + 1, st.ng), _F)   # placeholder (unused)
+    return fn(scene, fw)

@@ -22,7 +22,8 @@ __all__ = ['transport_photon_parallel']
 
 
 def transport_photon_parallel(scene, st, cfg: SolverConfig, n_photon: int,
-                              mesh, seed: int = 0, axes=('x', 'b')):
+                              mesh, seed: int = 0, axes=('x', 'b'),
+                              flux_w=None):
     """Run the flight kernel data-parallel over every device of ``mesh``.
 
     Returns globally-reduced tallies (same structure as a single-device run).
@@ -30,15 +31,19 @@ def transport_photon_parallel(scene, st, cfg: SolverConfig, n_photon: int,
     n_dev = mesh.size
     n_per = int(n_photon) // n_dev
     axis_names = tuple(axes)
+    use_fw = flux_w is not None
+    fw = jnp.asarray(flux_w, jnp.float32) if use_fw \
+        else jnp.zeros((st.nz + 1, st.ng), jnp.float32)
 
     seeds = jnp.arange(n_dev, dtype=jnp.uint32).reshape(
         [mesh.shape[a] for a in axis_names])
 
     @jax.jit
-    def launch(scene, seeds):
-        def worker(scene, seed_me):
+    def launch(scene, seeds, fw):
+        def worker(scene, seed_me, fw_loc):
             key = jax.random.fold_in(jax.random.key(seed), seed_me.reshape(())[()])
-            tal = transport_flight(scene, st, cfg, n_per, key)
+            tal = transport_flight(scene, st, cfg, n_per, key,
+                                   flux_w=fw_loc if use_fw else None)
             rad, flux, n = tal.rad, tal.flux, tal.n_launched
             n_s, rpl = tal.n_steps, tal.rad_plen
             for a in axis_names:
@@ -52,9 +57,9 @@ def transport_photon_parallel(scene, st, cfg: SolverConfig, n_photon: int,
 
         return jax.shard_map(
             worker, mesh=mesh,
-            in_specs=(P(), P(*axis_names)),
+            in_specs=(P(), P(*axis_names), P()),
             out_specs=Tallies(rad=P(), flux=P(), n_launched=P(), n_steps=P(), rad_plen=P()),
             check_vma=False,
-        )(scene, seeds)
+        )(scene, seeds, fw)
 
-    return launch(scene, seeds)
+    return launch(scene, seeds, fw)

@@ -59,7 +59,9 @@ def mc_ref_run(scene, st, albedo, sza_deg, saa_deg, n_photon, seed=1,
 
     z_lev = f64(scene.z_lev)
     sig_ray = f64(scene.sig_ray)
-    sig_aer = f64(scene.sig_aer)
+    # the C++ cross-check models one conservative aerosol channel; collapse
+    # per-constituent profiles (cross-validation scenes carry no aerosol)
+    sig_aer = f64(np.asarray(scene.sig_aer).sum(axis=1))
     kabs = f64(scene.kabs)
     sig_maj = f64(scene.sig_maj)
     ext3d = f64(scene.ext3d)

@@ -184,7 +184,9 @@ def transport(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
 
     dz_lay = scene.z_lev[1:] - scene.z_lev[:-1]                    # (Nz,)
     # cumulative 1D profiles above each level, for sensor-path attenuation
-    sig_1d = scene.sig_ray + scene.sig_aer
+    n_aer = scene.sig_aer.shape[1]
+    sig_aer_tot = jnp.sum(scene.sig_aer, axis=1)
+    sig_1d = scene.sig_ray + sig_aer_tot
     cum_sig = jnp.concatenate([jnp.cumsum((sig_1d * dz_lay)[::-1])[::-1],
                                jnp.zeros(1, _F)])                  # (Nz+1,)
     cum_abs = jnp.concatenate([jnp.cumsum((scene.kabs * dz_lay[:, None])[::-1], axis=0)[::-1],
@@ -201,9 +203,11 @@ def transport(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
     cum3d_flat = cum3d.reshape(-1)
 
     # packed per-layer and per-voxel tables: gathers cost ~per-row on TPU,
-    # so one wide row-fetch replaces several scalar fetches
-    lay_tab = jnp.stack([scene.z_lev[:-1], scene.z_lev[1:], scene.sig_maj,
-                         scene.sig_ray, scene.sig_aer], axis=1)     # (Nz, 5)
+    # so one wide row-fetch replaces several scalar fetches; columns 4..4+Na
+    # carry the per-constituent aerosol extinctions
+    lay_tab = jnp.concatenate(
+        [jnp.stack([scene.z_lev[:-1], scene.z_lev[1:], scene.sig_maj,
+                    scene.sig_ray], axis=1), scene.sig_aer], axis=1)  # (Nz, 4+Na)
     vox3 = jnp.stack([ext3d_flat, ssa3d_flat, apf3d_flat.astype(_F)],
                      axis=1)                                        # (Nvox, 3)
 
@@ -393,22 +397,28 @@ def transport(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         vr = vox3[(ix * st.ny + iy) * st.nz3 + k3]    # one packed row gather
         ext_c = jnp.where(in3, vr[:, 0], 0.0)
         sig_r = lt[:, 3]
-        sig_a = lt[:, 4]
+        sig_ac = lt[:, 4:4 + n_aer]                   # (B, Na) per constituent
+        sig_a = jnp.sum(sig_ac, axis=1)
         sig_real = sig_r + sig_a + ext_c
         accept = alive & is_col & (u[:, 3] * sig_m < sig_real)
 
-        # channel selection: rayleigh | aerosol1d | 3D particulate
+        # channel selection: rayleigh | aerosol constituents | 3D particulate
         pick = u[:, 4] * sig_real
         ch_ray = accept & (pick < sig_r)
         ch_aer = accept & ~ch_ray & (pick < sig_r + sig_a)
         ch_cld = accept & ~ch_ray & ~ch_aer
+        c_aer = jnp.clip(jnp.sum((jnp.cumsum(sig_ac, axis=1)
+                                  < (pick - sig_r)[:, None]).astype(jnp.int32),
+                                 axis=1), 0, n_aer - 1)
+        oh_a = jax.nn.one_hot(c_aer, n_aer, dtype=_F)
+        apf_a = jnp.sum(oh_a * scene.aer_apf.astype(_F)[None, :],
+                        axis=1).astype(jnp.int32)
+        ssa_a = jnp.sum(oh_a * scene.aer_ssa[None, :], axis=1)
 
         ssa_c = jnp.where(in3, vr[:, 1], 1.0)
         apf_c = jnp.where(in3, vr[:, 2].astype(jnp.int32), 0)
-        n_pf = scene.pt_mu.shape[0]
-        aer_row = n_pf - 1
-        apf = jnp.where(ch_cld, apf_c, jnp.where(ch_aer, aer_row, 0))
-        ssa_ev = jnp.where(ch_cld, ssa_c, 1.0)
+        apf = jnp.where(ch_cld, apf_c, jnp.where(ch_aer, apf_a, 0))
+        ssa_ev = jnp.where(ch_cld, ssa_c, jnp.where(ch_aer, ssa_a, 1.0))
 
         # ---------------- radiance local estimate ----------------
         if radiance:

@@ -88,13 +88,22 @@ class FlightCarry(NamedTuple):
 
 def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                        n_photon: int, key: jax.Array,
-                       slab: SlabSpec | None = None, x_off=None):
+                       slab: SlabSpec | None = None, x_off=None,
+                       flux_w=None):
     """Build (body, cond, carry0) for the flight transport loop.
 
     With ``slab``: ``scene`` holds this device's x-shard; ``x_off`` is the
     traced global x-origin [m] of the shard; photons spawn inside the slab,
     coordinates stay global, and lanes that leave the slab freeze (the
     migration driver moves them between devices).
+
+    ``flux_w``: optional (Nz+1, Ng) spectral weights (the reference's
+    sol_fac*solar*weight*slit/norm factor chain, mca_out.py:311-328).  When
+    given with per-column flux targets, crossings are contracted over g
+    IN-KERNEL and tallied as scalars into a flat tally — a 5x cheaper
+    scatter on TPU than 128-lane packed rows (scripts/tpu_scatter_bench.py),
+    exactly equal to the post-hoc contraction because the factor chain is
+    linear in the per-g tallies.
     """
     radiance = cfg.target == 'radiance'
     assert radiance or not cfg.use_pallas, 'pallas core is radiance-only'
@@ -115,6 +124,9 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
     nlev = nz + 1
     per_col = nxf * nyf > 1
     kx = int(cfg.flux_kcross) if per_col else 0
+    scalar_flux = per_col and kx > 0 and flux_w is not None
+    if scalar_flux:
+        flux_w = jnp.asarray(flux_w, _F)
     if slab is None:
         nx_glob = st.nx
         x_off = jnp.zeros((), _F)
@@ -126,7 +138,9 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
 
     z_lev = scene.z_lev
     dz_lay = z_lev[1:] - z_lev[:-1]
-    sig_1d = scene.sig_ray + scene.sig_aer
+    n_aer = scene.sig_aer.shape[1]
+    sig_aer_tot = jnp.sum(scene.sig_aer, axis=1)
+    sig_1d = scene.sig_ray + sig_aer_tot
     sig_maj = scene.sig_maj
     kabs_min = jnp.min(scene.kabs, axis=1)
 
@@ -563,10 +577,18 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                 iyc = jnp.floor(yc / st.dy).astype(jnp.int32) % st.ny
             chi = jnp.where(going_up, 2, jnp.where(direct, 0, 1))[:, None]
             pidx = (((ixc * nyf + iyc) * nlev + lev_c) * 3 + chi).reshape(-1)
-            # 8-fold row packing (see rtm.mc): 128-lane tally rows
-            sub = jax.nn.one_hot(pidx % 8, 8, dtype=_F)
-            upd = sub[:, :, None] * w_k.reshape(B * kx, 1, ng)
-            flux = flux.at[pidx // 8].add(upd.reshape(B * kx, 8 * ng))
+            if scalar_flux:
+                # in-kernel spectral contraction: one scalar per crossing
+                # into a flat tally (see make_flight_kernel docstring)
+                f_k = jnp.einsum('bkl,lg->bkg', oh_k, flux_w,
+                                 preferred_element_type=_F)
+                w_s = jnp.sum(w_k * f_k, axis=2)               # (B, kx)
+                flux = flux.at[pidx].add(w_s.reshape(-1))
+            else:
+                # 8-fold row packing (see rtm.mc): 128-lane tally rows
+                sub = jax.nn.one_hot(pidx % 8, 8, dtype=_F)
+                upd = sub[:, :, None] * w_k.reshape(B * kx, 1, ng)
+                flux = flux.at[pidx // 8].add(upd.reshape(B * kx, 8 * ng))
         elif not radiance:
             # ---- level-crossing flux tallies for the whole flight ----
             # crossing distances to every level; the terminal surface/TOA
@@ -698,7 +720,12 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
             tau3_above = jnp.zeros(B, _F)
 
         sig_r = jnp.sum(oh_col * scene.sig_ray[None, :], axis=1)
-        sig_a = jnp.sum(oh_col * scene.sig_aer[None, :], axis=1)
+        # per-constituent aerosol extinctions at the collision layer (MXU
+        # contraction; each 1D constituent keeps its own ssa/phase row,
+        # reference add_mca_1d_atm, mca_atm.py:105-139)
+        sig_ac = jnp.dot(oh_col, scene.sig_aer,
+                         preferred_element_type=_F)        # (B, Na)
+        sig_a = jnp.sum(sig_ac, axis=1)
         sig_real = sig_r + sig_a + ext_c
         accept = collided & (u[:, 3] * sig_m < sig_real)
 
@@ -706,8 +733,15 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         ch_ray = accept & (pick < sig_r)
         ch_aer = accept & ~ch_ray & (pick < sig_r + sig_a)
         ch_cld = accept & ~ch_ray & ~ch_aer
-        apf = jnp.where(ch_cld, apf_c, jnp.where(ch_aer, n_pf - 1, 0))
-        ssa_ev = jnp.where(ch_cld, ssa_c, 1.0)
+        c_aer = jnp.clip(jnp.sum((jnp.cumsum(sig_ac, axis=1)
+                                  < (pick - sig_r)[:, None]).astype(jnp.int32),
+                                 axis=1), 0, n_aer - 1)
+        oh_a = jax.nn.one_hot(c_aer, n_aer, dtype=_F)
+        apf_a = jnp.sum(oh_a * scene.aer_apf.astype(_F)[None, :],
+                        axis=1).astype(jnp.int32)
+        ssa_a = jnp.sum(oh_a * scene.aer_ssa[None, :], axis=1)
+        apf = jnp.where(ch_cld, apf_c, jnp.where(ch_aer, apf_a, 0))
+        ssa_ev = jnp.where(ch_cld, ssa_c, jnp.where(ch_aer, ssa_a, 1.0))
 
         # ---------------- local estimates ----------------
         from .brdf import brdf_eval, brdf_sample_dir_weight
@@ -842,7 +876,12 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
 
     zB = jnp.zeros(B, _F)
     n_pl = nxr * nyr if cfg.pathlength else 1
-    n_fx = -(-(nxf * nyf * nlev * 3) // 8) if not radiance else 1
+    if radiance:
+        flux0 = jnp.zeros((1, 8 * ng), _F)
+    elif scalar_flux:
+        flux0 = jnp.zeros(nxf * nyf * nlev * 3, _F)
+    else:
+        flux0 = jnp.zeros((-(-(nxf * nyf * nlev * 3) // 8), 8 * ng), _F)
     carry0 = FlightCarry(
         x=zB, y=zB, z=zB, ux=zB, uy=zB, uz=zB, wsc=zB,
         labs=jnp.zeros((B, ng + 1), _F), tau=zB,
@@ -852,13 +891,15 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         rad=jnp.zeros((nxr * nyr, ng), _F), plen=zB,
         rad_pl=jnp.zeros((n_pl, ng), _F),
         direct=jnp.zeros(B, bool),
-        flux=jnp.zeros((n_fx, 8 * ng), _F))
+        flux=flux0)
     return body, cond, carry0
 
 
 def transport_flight(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
-                     n_photon: int, key: jax.Array) -> Tallies:
-    body, cond, carry0 = make_flight_kernel(scene, st, cfg, n_photon, key)
+                     n_photon: int, key: jax.Array,
+                     flux_w=None) -> Tallies:
+    body, cond, carry0 = make_flight_kernel(scene, st, cfg, n_photon, key,
+                                            flux_w=flux_w)
     if cfg.max_events:
         max_steps = cfg.max_events
     else:
@@ -874,32 +915,43 @@ def transport_flight(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         nxr, nyr = st.nx, st.ny
     rad_plen = out.rad_pl.reshape(nxr, nyr, st.ng) if cfg.pathlength \
         else jnp.zeros(())
+    nlev = st.nz + 1
     if cfg.target == 'radiance':
-        flux = jnp.zeros((1, 1, st.nz + 1, 3, st.ng), _F)
+        flux = jnp.zeros((1, 1, nlev, 3, st.ng), _F)
     else:
         nxf, nyf = (st.nx, st.ny) if cfg.flux_per_column else (1, 1)
-        n_rows = nxf * nyf * (st.nz + 1) * 3
-        flux = out.flux.reshape(-1, st.ng)[:n_rows].reshape(
-            nxf, nyf, st.nz + 1, 3, st.ng)
+        scalar = out.flux.ndim == 1
+        ng_f = 1 if scalar else st.ng
+        n_rows = nxf * nyf * nlev * 3
+        flux = out.flux.reshape(-1, ng_f)[:n_rows].reshape(
+            nxf, nyf, nlev, 3, ng_f)
         # deterministic TOA down-direct entry: exactly 1 per launched photon
+        # (already factor-contracted in scalar mode)
+        toa1 = jnp.sum(jnp.asarray(flux_w, _F)[st.nz]) if scalar \
+            else jnp.ones((), _F)
         flux = flux.at[:, :, st.nz, 0, :].add(
-            out.launched.astype(_F) / (nxf * nyf))
+            out.launched.astype(_F) * toa1 / (nxf * nyf))
     return Tallies(rad=out.rad.reshape(nxr, nyr, st.ng),
                    flux=flux,
                    n_launched=out.launched, n_steps=out.step,
                    rad_plen=rad_plen)
 
 
-def run_transport_flight(scene, static, cfg, n_photon, seed=0, rng_impl='rbg'):
+def run_transport_flight(scene, static, cfg, n_photon, seed=0, rng_impl='rbg',
+                         flux_w=None):
     """Jitted entry point.
 
     ``rng_impl='rbg'`` uses the TPU's fast RNG path (cheaper per deviate than
     threefry inside the hot loop); pass 'threefry2x32' for cross-platform
-    bitwise determinism.
+    bitwise determinism.  ``flux_w``: (Nz+1, Ng) spectral factors enabling
+    the in-kernel spectral contraction of per-column flux tallies (the
+    returned Tallies.flux then has a singleton g axis holding the
+    factor-contracted physical tally).
     """
     fn = jax.jit(transport_flight, static_argnums=(1, 2, 3))
     try:
         key = jax.random.key(seed, impl=rng_impl)
     except Exception:
         key = jax.random.key(seed)
-    return fn(scene, static, cfg, int(n_photon), key)
+    fw = None if flux_w is None else jnp.asarray(flux_w, _F)
+    return fn(scene, static, cfg, int(n_photon), key, fw)

@@ -42,11 +42,15 @@ def spectral_factors(abs_coef, date=None, nz_out: int | None = None):
 
 
 def reduce_flux(tally_flux: np.ndarray, n_launched: int, abs_coef, mu0: float,
-                date=None):
+                date=None, precontracted=False):
     """Physical fluxes from a raw flux tally (Nxf, Nyf, Nlev, 3, Ng).
 
     Returns dict of (Nxf, Nyf, Nlev) arrays in W/m^2/nm:
     f_down_direct, f_down_diffuse, f_down, f_up.
+
+    ``precontracted``: the tally's g axis is a singleton already contracted
+    with the spectral factors in-kernel (mc_flight ``flux_w``); only the
+    photon normalization is applied here.
     """
     nlev = tally_flux.shape[2]
     factors, toa = spectral_factors(abs_coef, date=date, nz_out=nlev)
@@ -55,7 +59,10 @@ def reduce_flux(tally_flux: np.ndarray, n_launched: int, abs_coef, mu0: float,
     # (Nxf*Nyf)/N (reference counterpart: MCARaTS normalizes per grid cell)
     n_col = tally_flux.shape[0] * tally_flux.shape[1]
     raw = tally_flux * (mu0 * n_col / max(n_launched, 1))       # (..., Nlev, 3, Ng)
-    phys = np.einsum('xyzcg,zg->xyzc', raw, factors)
+    if precontracted:
+        phys = raw[..., 0]
+    else:
+        phys = np.einsum('xyzcg,zg->xyzc', raw, factors)
     out = {
         'f_down_direct': phys[..., 0],
         'f_down_diffuse': phys[..., 1],

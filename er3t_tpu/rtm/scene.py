@@ -46,9 +46,13 @@ class SceneArrays(NamedTuple):
     sig_ray: jnp.ndarray      # (Nz,) Rayleigh scattering extinction [1/m]
     kabs: jnp.ndarray         # (Nz, Ng) gas absorption [1/m]
     sig_maj: jnp.ndarray      # (Nz,) scattering majorant [1/m]
-    sig_aer: jnp.ndarray      # (Nz,) 1D aerosol extinction [1/m]
-    aer_ssa: jnp.ndarray      # () scalar
-    aer_asy: jnp.ndarray      # () scalar
+    sig_aer: jnp.ndarray      # (Nz, Na) per-constituent 1D aerosol
+    #                           extinction [1/m] (Na >= 1; zero if none) —
+    #                           each added 1D constituent keeps its own
+    #                           ssa/phase like the reference's
+    #                           add_mca_1d_atm (mca_atm.py:105-139)
+    aer_ssa: jnp.ndarray      # (Na,) per-constituent single-scattering albedo
+    aer_apf: jnp.ndarray      # (Na,) int32 per-constituent phase-table row
     ext3d: jnp.ndarray        # (Nx, Ny, Nz3) [1/m] (Nz3 >= 1)
     ssa3d: jnp.ndarray        # (Nx, Ny, Nz3)
     apf3d: jnp.ndarray        # (Nx, Ny, Nz3) int32 phase rows
@@ -135,29 +139,31 @@ def build_scene(atm, abs_coef, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
     # gas absorption [1/m] (mca_atm.py:90-91)
     kabs = (abs_coef.abso_coef / dz_m[:, None]).astype(np.float32)
 
-    # 1D aerosol channel (single merged layer set)
-    sig_aer = np.zeros(nz, dtype=np.float32)
-    aer_ssa, aer_asy = 1.0, 0.7
-    if aer_1ds:
-        for a in aer_1ds:
-            sig_aer += a.extinction_profile(atm.lay.altitude, atm.lay.thickness).astype(np.float32)
-        aer_ssa = float(np.mean([a.ssa for a in aer_1ds]))
-        aer_asy = float(np.mean([a.asy for a in aer_1ds]))
+    # 1D aerosol channels: one per constituent, each with its own ssa and
+    # phase row (reference role: add_mca_1d_atm appends extra 1D constituents
+    # with individual omg/apf and z-windowing, mca_atm.py:105-139)
+    aer_1ds = tuple(aer_1ds)
+    aer_3ds = tuple(aer_3ds)
+    na = max(len(aer_1ds), 1)
+    sig_aer = np.zeros((nz, na), dtype=np.float32)
+    for j, a in enumerate(aer_1ds):
+        sig_aer[:, j] = a.extinction_profile(
+            atm.lay.altitude, atm.lay.thickness).astype(np.float32)
+    aer_ssa = np.array([a.ssa for a in aer_1ds] or [1.0], dtype=np.float32)
+    # one HG phase row per constituent (1D then 3D aerosols)
+    extra_asy = [a.asy for a in aer_1ds] + [a.asy for a in aer_3ds]
 
-    # phase table: default HG(0.85) + aerosol HG rows appended
+    # phase table: default HG(0.85) for clouds + aerosol HG rows appended
     if pha is None:
         from ..pre.pha import pha_hg
-        asy_rows = [0.85]
-        if aer_1ds or aer_3ds:
-            asy_rows.append(aer_asy)
+        asy_rows = [0.85] + extra_asy
         table = build_phase_table(pha_hg(asy_params=tuple(asy_rows)),
                                   forward_trunc_deg=forward_trunc_deg)
-        aer_apf_row = len(asy_rows)  # last row
     else:
         table = build_phase_table(pha, forward_trunc_deg=forward_trunc_deg)
-        if aer_1ds or aer_3ds:
+        if extra_asy:
             from ..pre.pha import pha_hg
-            aer_tab = build_phase_table(pha_hg(asy_params=(aer_asy,)))
+            aer_tab = build_phase_table(pha_hg(asy_params=tuple(extra_asy)))
             table = PhaseTable(
                 mu_sample=np.concatenate([table.mu_sample, aer_tab.mu_sample[1:]], axis=0),
                 p_eval=np.concatenate([table.p_eval, aer_tab.p_eval[1:]], axis=0),
@@ -167,7 +173,10 @@ def build_scene(atm, abs_coef, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
                 trunc_f=np.concatenate([table.trunc_f, aer_tab.trunc_f[1:]]),
                 p_tms=np.concatenate([table.p_tms, aer_tab.p_tms[1:]], axis=0),
             )
-        aer_apf_row = table.n_pf - 1
+    first_extra = table.n_pf - len(extra_asy)
+    aer_apf = np.array([first_extra + j for j in range(len(aer_1ds))] or [0],
+                       dtype=np.int32)
+    aer3d_rows = [first_extra + len(aer_1ds) + j for j in range(len(aer_3ds))]
 
     # 3D region
     if cld is not None:
@@ -181,13 +190,14 @@ def build_scene(atm, abs_coef, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
             sf = 1.0 - ssa3d * f_vox
             ssa3d = (ssa3d * (1.0 - f_vox) / np.maximum(sf, 1e-9)).astype(np.float32)
             ext3d = (ext3d * sf).astype(np.float32)
-        for a in aer_3ds:
+        for j, a in enumerate(aer_3ds):
             # exact two-constituent merge: effective ssa and dominant phase
             ea = np.asarray(a.extinction, dtype=np.float32)
             tot = ext3d + ea
             with np.errstate(invalid='ignore', divide='ignore'):
                 ssa_m = np.where(tot > 0, (ext3d * ssa3d + ea * a.ssa) / np.maximum(tot, 1e-30), 1.0)
-            apf3d = np.where(ea * a.ssa > ext3d * ssa3d, aer_apf_row, apf3d).astype(np.int32)
+            apf3d = np.where(ea * a.ssa > ext3d * ssa3d, aer3d_rows[j],
+                             apf3d).astype(np.int32)
             ext3d, ssa3d = tot.astype(np.float32), ssa_m.astype(np.float32)
         has_3d = True
     else:
@@ -200,7 +210,7 @@ def build_scene(atm, abs_coef, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
         has_3d = False
 
     # scattering majorant per layer
-    sig_maj = sig_ray + sig_aer
+    sig_maj = sig_ray + sig_aer.sum(axis=1)
     if has_3d:
         ext_max = np.max(ext3d, axis=(0, 1))  # (nz3,)
         sig_maj = sig_maj.copy()
@@ -227,7 +237,7 @@ def build_scene(atm, abs_coef, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
         sig_maj=jnp.asarray(sig_maj),
         sig_aer=jnp.asarray(sig_aer),
         aer_ssa=jnp.asarray(aer_ssa, dtype=jnp.float32),
-        aer_asy=jnp.asarray(aer_asy, dtype=jnp.float32),
+        aer_apf=jnp.asarray(aer_apf, dtype=jnp.int32),
         ext3d=jnp.asarray(ext3d),
         ssa3d=jnp.asarray(ssa3d),
         apf3d=jnp.asarray(apf3d),

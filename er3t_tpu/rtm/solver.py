@@ -84,7 +84,7 @@ class Result:
 
 
 def _single_run(scene, static, cfg, n_photon, seed, chunk=4_000_000,
-                mesh=None):
+                mesh=None, flux_w=None):
     """One independent MC pass, split into bounded device calls.
 
     Chunking keeps each jitted while-loop execution short (tens of seconds),
@@ -107,15 +107,18 @@ def _single_run(scene, static, cfg, n_photon, seed, chunk=4_000_000,
 
             def runner(scene, static, cfg, n_c, seed):
                 return transport_decomp(scene, static, cfg, n_c, mesh,
-                                        seed=seed)
+                                        seed=seed, flux_w=flux_w)
         else:
             from ..dist.photon import transport_photon_parallel
 
             def runner(scene, static, cfg, n_c, seed):
                 return transport_photon_parallel(scene, static, cfg, n_c,
-                                                 mesh, seed=seed)
+                                                 mesh, seed=seed,
+                                                 flux_w=flux_w)
     elif use_flight:
-        runner = run_transport_flight
+        def runner(scene, static, cfg, n_c, seed):
+            return run_transport_flight(scene, static, cfg, n_c, seed=seed,
+                                        flux_w=flux_w)
     else:
         runner = mc.run_transport
     rad = flux = rad_pl = None
@@ -191,6 +194,8 @@ def solve(atm=None, abs_coef=None, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
               'hr': 'heating_rate', 'heating rate': 'heating_rate',
               'heating_rate': 'heating_rate'}[target.lower()]
     solver = solver.lower()
+    if solver not in ('3d', 'p3d', 'ipa', '1d'):
+        raise ValueError(f"solver must be '3d', 'p3d' or 'ipa'; got {solver!r}")
     ipa = solver in ('ipa', '1d')
 
     scene, static = build_scene(
@@ -206,6 +211,10 @@ def solve(atm=None, abs_coef=None, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
     cam = dict(xpos=0.5, ypos=0.5, zloc=0.0, phi=0.0, the=0.0, psi=0.0,
                qmax=89.0, npix=64)
     if camera:
+        unknown = set(camera) - set(cam)
+        if unknown:
+            raise ValueError(f'unknown camera parameter(s) {sorted(unknown)}; '
+                             f'valid keys: {sorted(cam)}')
         cam.update(camera)
         sensor_type = 'camera'
     cfg = mc.SolverConfig(
@@ -233,12 +242,21 @@ def solve(atm=None, abs_coef=None, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
     mu0 = float(np.cos(np.deg2rad(solar_zenith_angle)))
     n_photon = int(photons)
 
+    # per-column flux tallies are spectrally contracted IN-KERNEL (a flat
+    # scalar scatter is ~5x cheaper on TPU than 128-lane packed rows) —
+    # exactly equal to the post-hoc contraction (out.spectral_factors chain)
+    flux_w_arr = None
+    if (target != 'radiance' and flux_per_column and flux_kcross > 0
+            and flux_engine == 'flight'):
+        flux_w_arr, _ = out.spectral_factors(abs_coef, date=date,
+                                             nz_out=static.nz + 1)
+
     per_run = []
     for r in range(n_run):
         if spectral == 'correlated':
             rad_t, flux_t, n_l, rad_pl = _single_run(
                 scene, static, cfg, n_photon, seed + 1000003 * r,
-                chunk=chunk, mesh=mesh)
+                chunk=chunk, mesh=mesh, flux_w=flux_w_arr)
             if target == 'radiance' and sensor_type == 'camera':
                 area = (static.nx * static.dx) * (static.ny * static.dy)
                 red = out.reduce_camera_radiance(
@@ -248,7 +266,8 @@ def solve(atm=None, abs_coef=None, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
             elif target == 'radiance':
                 red = out.reduce_radiance(rad_t, n_l, abs_coef, mu0, date=date)
             else:
-                red = out.reduce_flux(flux_t, n_l, abs_coef, mu0, date=date)
+                red = out.reduce_flux(flux_t, n_l, abs_coef, mu0, date=date,
+                                      precontracted=flux_w_arr is not None)
             if pathlength and target == 'radiance':
                 with np.errstate(invalid='ignore', divide='ignore'):
                     w = abs_coef.weight

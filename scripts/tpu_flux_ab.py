@@ -47,35 +47,42 @@ def main():
     from er3t_tpu.rtm.mc import SolverConfig
     from er3t_tpu.rtm.mc_flight import run_transport_flight
 
+    from er3t_tpu.rtm.out import spectral_factors
+
     n_phot = int(float(sys.argv[1])) if len(sys.argv) > 1 else 2_000_000
     ab, scene, st = build()
-    configs = [('kx4', dict(flux_kcross=4)),
-               ('kx8', dict(flux_kcross=8)),
-               ('kx2', dict(flux_kcross=2)),
-               ('kx0-legacy', dict(flux_kcross=0)),
-               ('domavg', dict(flux_kcross=0, flux_per_column=False))]
-    results = {k: [] for k, _ in configs}
+    fw, _ = spectral_factors(ab, nz_out=st.nz + 1)
+    configs = [('scalar-kx4', dict(flux_kcross=4), True),
+               ('scalar-kx8', dict(flux_kcross=8), True),
+               ('kx4', dict(flux_kcross=4), False),
+               ('kx0-legacy', dict(flux_kcross=0), False),
+               ('domavg', dict(flux_kcross=0, flux_per_column=False), False)]
+    results = {k: [] for k, _, _ in configs}
     sfc = {}
     for rnd in range(3):
-        for name, kw in configs:
+        for name, kw, use_fw in configs:
             cfg = SolverConfig(target='flux', batch=1 << 17, n_scat_max=600,
                                tile_size=16,
                                **{**dict(flux_per_column=True), **kw})
             t0 = time.time()
-            tal = run_transport_flight(scene, st, cfg, n_phot, seed=rnd)
+            tal = run_transport_flight(scene, st, cfg, n_phot, seed=rnd,
+                                       flux_w=fw if use_fw else None)
             flux = np.asarray(tal.flux)   # forces completion
             dt = time.time() - t0
             n = int(tal.n_launched)
             rate = n / dt
             results[name].append(rate)
-            f = flux @ ab.weight
+            if flux.shape[-1] == 1:     # scalar (factor-contracted) tally
+                f = flux[..., 0] / fw.sum(axis=1)[None, None, :, None]
+            else:
+                f = flux @ ab.weight
             ncol = f.shape[0] * f.shape[1]
             sfc[name] = (f[:, :, 0, 0].mean() + f[:, :, 0, 1].mean()) / n * ncol
             print(f'r{rnd} {name:12s}: {n/1e6:.1f}M ph in {dt:6.2f}s = '
                   f'{rate/1e6:6.3f}M ph/s  steps={int(tal.n_steps):5d} '
                   f'sfc_dn={sfc[name]:.4f}', flush=True)
     print('\nmedian ph/s by config:')
-    for name, _ in configs:
+    for name, _, _ in configs:
         med = np.median(results[name])
         print(f'  {name:12s}: {med/1e6:6.3f}M ph/s   sfc_dn={sfc[name]:.4f}')
 
