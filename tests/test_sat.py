@@ -297,3 +297,123 @@ def test_calipso_vfm_machinery(tmp_path):
     out = read_calipso_vfm(str(fn), extent=(-60, -59, 14, 15))
     assert out['feature_type']['data'].shape[1] == nrec * 15
     assert np.all(out['feature_type']['data'] == 2)
+
+
+# ---------------------------------------------------------------------------
+# DAAC depth (round 2): full catalog, dateline-safe swath search, swath
+# grids, retry/validation, worldview time-stamping
+# ---------------------------------------------------------------------------
+
+GEOMETA = """# GranuleID,StartDateTime,ArchiveSet,OrbitNumber,DayNightFlag,EastBoundingCoord,NorthBoundingCoord,SouthBoundingCoord,WestBoundingCoord,GRingLongitude1,GRingLongitude2,GRingLongitude3,GRingLongitude4,GRingLatitude1,GRingLatitude2,GRingLatitude3,GRingLatitude4
+MYD06_L2.A2019237.1830.061.x.hdf,2019-08-25 18:30,61,1,D,-55,20,10,-65,-65,-55,-56,-66,12,10,20,18
+MYD06_L2.A2019237.1835.061.x.hdf,2019-08-25 18:35,61,1,N,-55,40,30,-65,-65,-55,-56,-66,32,30,40,38
+MYD06_L2.A2019237.0200.061.x.hdf,2019-08-25 02:00,61,1,D,-170,10,-10,175,175,-170,-168,173,-5,-8,8,5
+"""
+
+
+def test_daac_catalog_breadth():
+    from er3t_tpu.sat import daac
+    assert len(daac.SAT_TAGS) >= 44
+    for tag, meta in daac.SAT_TAGS.items():
+        for key in ('dataset_tag', 'dict_key', 'description', 'satellite',
+                    'instrument', 'website', 'daac', 'archive', 'sat'):
+            assert key in meta, (tag, key)
+    # reference parity spot checks (er3t/common.py catalog)
+    assert daac.SAT_TAGS['VNP_CLDPROP_L2']['dataset_tag'] == \
+        '5111/CLDPROP_L2_VIIRS_SNPP'
+    assert daac.SAT_TAGS['MYD_CLDMSK_L2']['dataset_tag'] == \
+        '5110/CLDMSK_L2_MODIS_Aqua'
+    assert daac.SAT_TAGS['oco2_L2StdND']['daac'] == 'gesdisc'
+
+
+def test_daac_find_granules_offline():
+    from er3t_tpu.sat import daac
+    import datetime
+    d = datetime.date(2019, 8, 25)
+    hits = daac.find_granules('MYD06_L2', d, -60.0, 15.0,
+                              geometa_text=GEOMETA)
+    assert [h['granule'] for h in hits] == ['MYD06_L2.A2019237.1830.061.x.hdf']
+    # night granule excluded by default, included with day_only=False
+    hits_n = daac.find_granules('MYD06_L2', d, -60.0, 35.0,
+                                geometa_text=GEOMETA, day_only=False)
+    assert len(hits_n) == 1 and hits_n[0]['day_night'] == 'N'
+
+
+def test_daac_dateline_swath():
+    """Swath straddling +-180: both sides of the dateline match."""
+    from er3t_tpu.sat import daac
+    import datetime
+    d = datetime.date(2019, 8, 25)
+    for lon in (178.0, -178.0):
+        hits = daac.find_granules('MYD06_L2', d, lon, 0.0,
+                                  geometa_text=GEOMETA)
+        assert len(hits) == 1, lon
+    assert not daac.find_granules('MYD06_L2', d, 150.0, 0.0,
+                                  geometa_text=GEOMETA)
+
+
+def test_daac_granules_over_extent():
+    from er3t_tpu.sat import daac
+    import datetime
+    d = datetime.date(2019, 8, 25)
+    recs = daac.granules_over_extent('MYD06_L2', d, (-62, -58, 12, 16),
+                                     geometa_text=GEOMETA)
+    assert len(recs) == 1 and recs[0]['coverage'] > 0.5
+    recs2 = daac.granules_over_extent('MYD06_L2', d, (-62, -58, 17.5, 21),
+                                      geometa_text=GEOMETA)
+    assert recs2 and 0.0 < recs2[0]['coverage'] < 1.0
+
+
+def test_daac_swath_lonlat_utc():
+    from er3t_tpu.sat import daac
+    import datetime
+    rec = daac.find_granules('MYD06_L2', datetime.date(2019, 8, 25),
+                             -60.0, 15.0, geometa_text=GEOMETA)[0]
+    lon, lat, utc = daac.swath_lonlat_utc(rec, nx=16, ny=16)
+    assert lon.shape == lat.shape == utc.shape == (16, 16)
+    assert lon.min() >= -66 and lon.max() <= -55
+    assert 10 <= lat.min() and lat.max() <= 20
+    np.testing.assert_allclose(utc[:, 0], 18.5)          # StartDateTime
+    assert np.all(np.diff(utc[0]) > 0)                   # advances along track
+
+
+def test_download_retry_and_validation(tmp_path):
+    """Flaky-server download succeeds on a later attempt; a persistently
+    short payload raises after the retry budget."""
+    from er3t_tpu.sat import daac
+    calls = {'n': 0}
+
+    def flaky(url, headers):
+        calls['n'] += 1
+        if calls['n'] < 3:
+            raise IOError('connection reset')
+        return [b'x' * 4096]
+
+    out = daac.download_url('https://example.invalid/fake.bin',
+                            str(tmp_path), min_size=1024, retries=3,
+                            backoff=0.0, _get=flaky)
+    assert calls['n'] == 3 and out.endswith('fake.bin')
+
+    def short(url, headers):
+        return [b'tiny']
+
+    with pytest.raises(IOError, match='after 2 attempts'):
+        daac.download_url('https://example.invalid/fake2.bin',
+                          str(tmp_path), min_size=1024, retries=2,
+                          backoff=0.0, _get=short)
+
+
+def test_worldview_stamped_download(tmp_path):
+    from er3t_tpu.sat import daac
+    import datetime
+    dt = datetime.datetime(2019, 8, 25, 18, 30)
+    url, fname = daac.download_worldview_image(
+        dt, (-61.0, -59.0, 14.0, 16.0), product='MYDRGB',
+        fdir_out=str(tmp_path), run=False)
+    assert 'MODIS_Aqua_CorrectedReflectance' in url and '2019-08-25' in url
+    assert 'MYDRGB_2019-08-25-1830Z_' in fname
+    url2, fname2 = daac.download_worldview_image(
+        dt, (-61.0, -59.0, 14.0, 16.0), product='MYDRGB',
+        fdir_out=str(tmp_path), _get=lambda u, h: [b'p' * 256])
+    import os
+    assert os.path.isfile(fname2) and os.path.getsize(fname2) == 256
