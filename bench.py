@@ -6,12 +6,24 @@ example_05: 480x480 LES scene, 650 nm nadir radiance, Mie phase, 16 g-points;
 The LES netCDF is not redistributable, so an equivalent broken-cloud field
 (480x480, 25% cover, COT<=30, reff 10 um) is generated in-framework.
 
-Metric: g-point photon samples per second per chip.  Every transported
-photon here carries all 16 correlated g-point weights (the reference
-launches one photon per g), so g-samples/s = photons/s * 16 is the
-apples-to-apples rate against the reference's photons/s.
+Metrics (the reference's accuracy band is Nrun-repeat per-pixel std,
+mcarats.py:134 / mca_out.py:394-397):
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+* raw physical photons/s per chip;
+* g-samples/s (each photon carries all 16 correlated g-point weights —
+  the reference launches one photon per g);
+* the measured correlated-vs-independent noise discount: per-photon pixel
+  variance of the spectrally-integrated radiance under the correlated
+  protocol vs the reference's independent per-g protocol, measured from
+  repeat runs at matched budgets;
+* noise-matched photons/s = photons/s x (var_indep / var_corr): the photon
+  rate an independent-protocol solver would need to reach the same
+  per-pixel std in the same wall time — the honest number against the
+  6.7e6 ph/s baseline.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+The primary metric is noise-matched photons/s when the noise phase runs,
+else raw g-samples/s.
 """
 
 import json
@@ -50,6 +62,25 @@ def build():
     return ab, scene, st
 
 
+def _spectral_image(rad, ab, n):
+    """Per-pixel spectrally-integrated radiance (per launched photon)."""
+    from er3t_tpu.rtm.out import spectral_factors
+    factors, _ = spectral_factors(ab, nz_out=1)
+    return (np.asarray(rad) @ factors[0]) / max(n, 1)
+
+
+def _pixel_var_per_photon(images, n_per_run):
+    """Mean-over-pixels per-photon variance from repeat images.
+
+    var(run mean) = var_per_photon / N  =>  var_per_photon = N * var(runs).
+    Cloudy pixels dominate; use the pixel-mean variance (the reference's
+    std fields are per-pixel, mca_out.py:394-397).
+    """
+    imgs = np.stack(images)                    # (K, nx, ny)
+    v = imgs.var(axis=0, ddof=1)               # per-pixel var of run means
+    return float(v.mean()) * n_per_run
+
+
 def main():
     import jax
     try:
@@ -57,38 +88,28 @@ def main():
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
     except Exception:
         pass
-
     from er3t_tpu.rtm.mc import SolverConfig
     from er3t_tpu.rtm.mc_flight import run_transport_flight
 
     ab, scene, st = build()
-    # big chunks amortize the straggler drain tail of each while-loop call;
-    # n_scat_max=600 bounds pathological walks (negligible energy at that
-    # order in delta-truncated clouds)
-    # tile_size=16: per-tile majorants (measured 3.5x on-chip vs the global
-    # per-layer majorant on this scene — scripts/tpu_ab_sweep.py)
+    # production config: per-tile majorants + 20-deg truncation (TMS);
+    # n_scat_max=600 bounds pathological walks (negligible energy there)
     cfg = SolverConfig(target='radiance', batch=1 << 17, n_scat_max=600,
                        tile_size=16)
 
-    # warm-up / compile
-    tal = run_transport_flight(scene, st, cfg, 100_000, seed=0)
+    # ---------------- phase 1: throughput ----------------
+    tal = run_transport_flight(scene, st, cfg, 100_000, seed=0)   # warm-up
     _ = np.asarray(tal.rad)
 
-    # adaptive chunks: the while-loop drain tail (in-cloud stragglers) is a
-    # fixed ~200-step cost per chunk, so bigger chunks amortize it (~2x at
-    # 8M vs 2M).  Start small and double while the tunneled chip is healthy
-    # (long device calls can fault the tunnel, CLAUDE.md).
     chunk = 4_000_000
-    target_seconds = 120.0
-    n_done = 0
-    t_used = 0.0
-    i = 0
+    target_seconds = 110.0
+    n_done, t_used, i = 0, 0.0, 0
     while t_used < target_seconds and i < 32:
         t0 = time.time()
         try:
             tal = run_transport_flight(scene, st, cfg, chunk, seed=1 + i)
-            _ = np.asarray(tal.rad)   # forces real completion on tunneled chips
-        except Exception as e:       # tunnel hiccup: report what we have
+            _ = np.asarray(tal.rad)   # forces completion on tunneled chips
+        except Exception as e:
             print(f'# chunk {i} failed: {e}', file=sys.stderr)
             break
         dt = time.time() - t0
@@ -101,18 +122,71 @@ def main():
             chunk //= 2
 
     if n_done == 0 or t_used == 0:
-        print(json.dumps({'metric': 'gpoint_photon_samples_per_sec_per_chip',
+        print(json.dumps({'metric': 'noise_matched_photons_per_sec_per_chip',
                           'value': 0.0, 'unit': '1/s', 'vs_baseline': 0.0}))
         return
-
     photons_per_s = n_done / t_used
     g_samples_per_s = photons_per_s * ab.ng
-    print(json.dumps({
-        'metric': 'gpoint_photon_samples_per_sec_per_chip',
-        'value': round(g_samples_per_s, 1),
+
+    # ---------------- phase 2: noise protocol ----------------
+    # per-pixel std from Nrun repeats (the reference's protocol) under the
+    # correlated spectral sampling, and under the reference's independent
+    # per-g protocol at the same photon budget; guarded by a time budget
+    # (the tunneled chip can be slow — fall back to raw throughput)
+    var_c = var_i = None
+    try:
+        if t_used < 300.0:
+            n_noise = 4_000_000
+            imgs_c = []
+            for k in range(3):
+                tal = run_transport_flight(scene, st, cfg, n_noise,
+                                           seed=101 + k)
+                imgs_c.append(_spectral_image(tal.rad, ab,
+                                              int(tal.n_launched)))
+            var_c = _pixel_var_per_photon(imgs_c, n_noise)
+
+            import dataclasses as _dc
+            from er3t_tpu.rtm.solver import distribute_photon
+            from er3t_tpu.rtm.out import spectral_factors
+            factors, _ = spectral_factors(ab, nz_out=1)
+            dist = distribute_photon(n_noise, ab.weight)
+            imgs_i = []
+            for k in range(2):
+                acc = np.zeros((st.nx, st.ny))
+                for g in range(ab.ng):
+                    scene_g = scene._replace(kabs=scene.kabs[:, g:g + 1])
+                    st_g = _dc.replace(st, ng=1)
+                    tg = run_transport_flight(scene_g, st_g, cfg,
+                                              int(dist[g]), seed=301 + 16 * k + g)
+                    acc += (np.asarray(tg.rad)[:, :, 0]
+                            / max(int(tg.n_launched), 1)) * factors[0][g]
+                imgs_i.append(acc)
+            var_i = _pixel_var_per_photon(imgs_i, n_noise)
+    except Exception as e:
+        print(f'# noise phase failed: {e}', file=sys.stderr)
+
+    out = {
         'unit': '1/s',
-        'vs_baseline': round(g_samples_per_s / BASELINE_PHOTONS_PER_S, 3),
-    }))
+        'photons_per_sec': round(photons_per_s, 1),
+        'g_samples_per_sec': round(g_samples_per_s, 1),
+    }
+    if var_c and var_i and var_c > 0:
+        noise_ratio = var_i / var_c
+        noise_matched = photons_per_s * noise_ratio
+        out.update({
+            'metric': 'noise_matched_photons_per_sec_per_chip',
+            'value': round(noise_matched, 1),
+            'vs_baseline': round(noise_matched / BASELINE_PHOTONS_PER_S, 3),
+            'noise_var_ratio_indep_over_corr': round(noise_ratio, 3),
+            'pixel_std_at_budget': round(float(np.sqrt(var_c / 4e6)), 8),
+        })
+    else:
+        out.update({
+            'metric': 'gpoint_photon_samples_per_sec_per_chip',
+            'value': round(g_samples_per_s, 1),
+            'vs_baseline': round(g_samples_per_s / BASELINE_PHOTONS_PER_S, 3),
+        })
+    print(json.dumps(out))
 
 
 if __name__ == '__main__':

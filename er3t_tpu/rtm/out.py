@@ -21,7 +21,27 @@ import numpy as np
 
 from ..physics.solar import sol_fac as _sol_fac
 
-__all__ = ['spectral_factors', 'reduce_flux', 'reduce_radiance', 'heating_rate']
+__all__ = ['spectral_factors', 'reduce_flux', 'reduce_radiance',
+           'heating_rate', 'smooth_diffusion']
+
+
+def smooth_diffusion(field, n_iter=1, axes=(0, 1)):
+    """Numerical-diffusion smoothing of noisy MC fields.
+
+    The reference exposes MCARaTS's numerical diffusion knobs
+    (``Flx_diff0/1``, ``Rad_difr0/1``, mca_inp.py) to smooth noisy flux /
+    heating-rate / radiance fields; here the equivalent is ``n_iter``
+    explicit diffusion steps over the horizontal axes (periodic domain),
+    each a 5-point stencil f <- f/2 + (sum of 4 neighbors)/8.  Conserves
+    the field total exactly.
+    """
+    f = np.asarray(field, dtype=np.float64).copy()
+    a0, a1 = axes
+    for _ in range(int(n_iter)):
+        nb = (np.roll(f, 1, axis=a0) + np.roll(f, -1, axis=a0)
+              + np.roll(f, 1, axis=a1) + np.roll(f, -1, axis=a1))
+        f = 0.5 * f + 0.125 * nb
+    return f
 
 
 def spectral_factors(abs_coef, date=None, nz_out: int | None = None):

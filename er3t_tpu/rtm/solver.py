@@ -148,7 +148,7 @@ def solve(atm=None, abs_coef=None, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
           spectral='correlated', flux_per_column=None, chunk=4_000_000,
           forward_trunc_deg=None, tile_size=0, flux_engine='flight',
           flux_kcross=4, cf_dtau=0.0, pathlength=False, split_wmax=0.0,
-          rr_wmin=0.1, n_scat_max=2000, mesh=None):
+          rr_wmin=0.1, n_scat_max=2000, mesh=None, diffusion=0):
     """Run a full radiative-transfer simulation — the single front door.
 
     Parameters mirror ``mcarats_ng`` (reference mcarats.py:62-231).  Every
@@ -288,6 +288,14 @@ def solve(atm=None, abs_coef=None, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
 
     if target == 'heating_rate':
         data['hr'] = out.heating_rate(data, atm)
+
+    if diffusion > 0:
+        # numerical-diffusion smoothing of per-column fields (MCARaTS
+        # Flx_diff0/1 / Rad_difr0/1 role)
+        for k in list(data):
+            arr = np.asarray(data[k])
+            if arr.ndim >= 2 and arr.shape[0] > 1 and arr.shape[1] > 1:
+                data[k] = out.smooth_diffusion(arr, diffusion)
 
     return Result(target=target, data=data, std=std, toa=toa,
                   n_photon=photons, n_run=n_run)

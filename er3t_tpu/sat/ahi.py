@@ -16,19 +16,28 @@ def _entry(data, name, units='N/A'):
 
 
 class ahi_l2:
-    """AHI L2 cloud properties (CLP product) -> gridded cot/cer maps."""
+    """AHI L2 cloud properties (CLP product) -> gridded cot/cer maps.
+
+    Mirrors the reference reader's contract (er3t/util/ahi.py:20-178):
+    1D lat/lon axes meshed to 2D, COT/CER variables selectable
+    (``vname_cot``/``vname_cer``), optional extent subsetting + gridding,
+    multiple granules concatenated, and ``read_vars`` for extra variables.
+    """
 
     ID = 'AHI L2 Cloud'
 
-    def __init__(self, fnames, extent=None, nx=None, ny=None):
+    def __init__(self, fnames, extent=None, nx=None, ny=None,
+                 vname_cot='CLOT', vname_cer='CLER_23'):
+        self.fnames = list(np.atleast_1d(fnames))
+        self.extent = extent
         lons, lats, cots, cers = [], [], [], []
-        for fname in np.atleast_1d(fnames):
+        for fname in self.fnames:
             f = open_any(fname)
             try:
                 lon1, _ = f.var('longitude')
                 lat1, _ = f.var('latitude')
-                cot, a1 = f.var('CLOT')
-                cer, a2 = f.var('CLER_23')
+                cot, a1 = f.var(vname_cot)
+                cer, a2 = f.var(vname_cer)
                 cot = apply_scaling(cot, a1)
                 cer = apply_scaling(cer, a2)
                 lon, lat = np.meshgrid(np.asarray(lon1), np.asarray(lat1),
@@ -57,3 +66,28 @@ class ahi_l2:
             self.data['lat_2d'] = _entry(lat2, 'Gridded latitude', 'deg')
             self.data['cot_2d'] = _entry(np.nan_to_num(cot2), 'Gridded COT')
             self.data['cer_2d'] = _entry(np.nan_to_num(cer2), 'Gridded CER', 'um')
+
+    def read_vars(self, vnames):
+        """Read extra scene variables (e.g. CLTH, CLTT, QA) subsetted to the
+        reader's extent (reference ahi.py:155-170)."""
+        for fname in self.fnames:
+            f = open_any(fname)
+            try:
+                lon1, _ = f.var('longitude')
+                lat1, _ = f.var('latitude')
+                lon, lat = np.meshgrid(np.asarray(lon1), np.asarray(lat1),
+                                       indexing='xy')
+                sel = np.ones(lon.shape, bool)
+                if self.extent is not None:
+                    sel = ((lon >= self.extent[0]) & (lon <= self.extent[1]) &
+                           (lat >= self.extent[2]) & (lat <= self.extent[3]))
+                for vname in vnames:
+                    d, a = f.var(vname)
+                    d = apply_scaling(d, a)[sel]
+                    key = vname.lower()
+                    if key in self.data:
+                        d = np.hstack((self.data[key]['data'], d))
+                    self.data[key] = _entry(d, vname)
+            finally:
+                f.close()
+        return self

@@ -417,3 +417,34 @@ def test_worldview_stamped_download(tmp_path):
         fdir_out=str(tmp_path), _get=lambda u, h: [b'p' * 256])
     import os
     assert os.path.isfile(fname2) and os.path.getsize(fname2) == 256
+
+
+def _make_ahi_nc(fname, nx=12, ny=10):
+    import h5py
+    with h5py.File(fname, 'w') as f:
+        f['longitude'] = np.linspace(120.0, 125.0, nx)
+        f['latitude'] = np.linspace(10.0, 14.0, ny)
+        cot = np.zeros((ny, nx))
+        cot[3:6, 4:8] = 12.0
+        f['CLOT'] = cot
+        f['CLER_23'] = np.where(cot > 0, 11.0, 0.0)
+        f['CLTH'] = np.where(cot > 0, 2.5, 0.0)
+
+
+def test_ahi_reader_synthetic(tmp_path):
+    """AHI reader against a synthetic granule (the reference's project 03
+    flux-along-track driver consumes this contract, er3t/util/ahi.py)."""
+    from er3t_tpu.sat.ahi import ahi_l2
+    fn = str(tmp_path / 'ahi.nc')
+    _make_ahi_nc(fn)
+    a = ahi_l2([fn], extent=(121.0, 124.0, 10.5, 13.5), nx=8, ny=8)
+    assert a.data['cot']['data'].max() == 12.0
+    assert a.data['cot_2d']['data'].shape == (8, 8)
+    assert a.data['cot_2d']['data'].max() > 0
+    # extra variables through read_vars (reference ahi.py:155-170)
+    a.read_vars(['CLTH'])
+    assert 'clth' in a.data and a.data['clth']['data'].max() == 2.5
+    # and the gridded cloud feeds cld_sat end-to-end
+    from er3t_tpu.pre.cld import cld_sat
+    cld = cld_sat(a, cth=2.5, cgt=1.0)
+    assert cld.extinction.max() > 0

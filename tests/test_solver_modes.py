@@ -276,3 +276,43 @@ def test_photon_splitting_unbiased(atm):
                                    / int(t.n_launched)))
     m0, m1 = np.mean(means[0.0]), np.mean(means[0.5])
     assert m1 == pytest.approx(m0, rel=0.04)
+
+def test_independent_g_flux(atm):
+    """Independent per-g spectral protocol for FLUX targets matches the
+    correlated sampling (the per-g scaling wsc=1/n_l path)."""
+    ab = abs_synthetic(650.0, atm, ng=4)
+    kw = dict(atm=atm, abs_coef=ab, surface=0.2, target='flux',
+              solar_zenith_angle=30.0, n_run=1, batch=1 << 12,
+              flux_per_column=False)
+    rc = solver.solve(spectral='correlated', photons=100000, seed=1, **kw)
+    ri = solver.solve(spectral='independent', photons=200000, seed=2, **kw)
+    for k in ('f_down', 'f_up'):
+        a = np.asarray(rc[k])[0, 0]
+        b = np.asarray(ri[k])[0, 0]
+        sel = a > 1e-2
+        np.testing.assert_allclose(b[sel], a[sel], rtol=0.06)
+    assert ri['f_down_direct'][0, 0, -1] == pytest.approx(
+        rc['f_down_direct'][0, 0, -1], rel=1e-3)
+
+
+def test_diffusion_smoothing(atm):
+    """MCARaTS numerical-diffusion role: smoothing conserves the total and
+    reduces per-pixel noise."""
+    from er3t_tpu.rtm.out import smooth_diffusion
+    rng = np.random.RandomState(0)
+    f = rng.rand(16, 16) + 1.0
+    s = smooth_diffusion(f, 3)
+    assert s.sum() == pytest.approx(f.sum(), rel=1e-12)
+    assert s.std() < 0.5 * f.std()
+    # through the solve() front door
+    from er3t_tpu.pre.cld import cld_gen_hom
+    ab = abs_synthetic(650.0, atm, ng=4)
+    cld = cld_gen_hom(nx=8, ny=8, nz=2, dx=0.5, dy=0.5, cot0=6.0, cer0=10.0,
+                      cloud_base=1.0, cloud_top=3.0)
+    kw = dict(atm=atm, abs_coef=ab, cld=cld, surface=0.1, target='radiance',
+              solar_zenith_angle=30.0, photons=20000, n_run=1, batch=1 << 12,
+              seed=4)
+    r0 = solver.solve(**kw)
+    r1 = solver.solve(diffusion=2, **kw)
+    assert r1['rad'].mean() == pytest.approx(r0['rad'].mean(), rel=1e-6)
+    assert r1['rad'].std() < r0['rad'].std()
