@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ['abs_16g_from_h5', 'reference_atmosphere']
+__all__ = ['abs_16g_from_h5', 'abs_16g_from_txt', 'reference_atmosphere']
 
 NG = 16
 
@@ -139,10 +139,14 @@ def _regions(wvl, group_s='/solar_v1.3'):
     raise ValueError('abs_16g: wavelength above 2500 nm')
 
 
-def abs_16g_from_h5(wavelength, atm, fname_h5):
-    """Correlated-k coefficients from the database for one wavelength."""
-    import h5py
+def _accumulate(wavelength, atm, fetch_k, fetch_solar):
+    """Shared per-gas / per-layer k-table accumulation (abs_crk.py:482-628).
 
+    ``fetch_k(gas_grp, kname, jp, jt, jw_or_None, wvl_i)`` returns the
+    (Ng, cols) table (col 2 = k, col -1 = slit); ``fetch_solar(sol_grp,
+    wvl_i)`` returns (v1, v2, s0).  Database backends (HDF5 tree, legacy
+    text tree) differ only in these two callables.
+    """
     from .abs import AbsCoef, G16_WEIGHTS
 
     nz = atm.lay.altitude.size
@@ -158,55 +162,108 @@ def abs_16g_from_h5(wavelength, atm, fname_h5):
     slit = np.zeros((nz, NG))
     solar = np.zeros(NG)
 
-    with h5py.File(fname_h5, 'r') as f:
-        for gas_grp, kname, gas, sol_grp, use_vtp, has_slit, has_solar in \
-                _regions(wavelength):
-            sgrp = f'{sol_grp}/solar_taug.{wvl_i}'
-            if sgrp not in f:
-                raise KeyError(f'abs_16g database lacks {sgrp}')
-            if has_solar:
-                v1, v2, dv, npts, smn, smx, sint = f[f'{sgrp}/params'][...]
-                s0 = f[f'{sgrp}/data'][...][:, -1]
-                l1, l2 = 1.0e7 / v2, 1.0e7 / v1
-                solar = s0 * (v2 - v1) / (l2 - l1)
+    for gas_grp, kname, gas, sol_grp, use_vtp, has_slit, has_solar in \
+            _regions(wavelength):
+        if has_solar:
+            v1, v2, s0 = fetch_solar(sol_grp, wvl_i)
+            l1, l2 = 1.0e7 / v2, 1.0e7 / v1
+            solar = s0 * (v2 - v1) / (l2 - l1)
 
-            contrib = np.zeros((nz, NG))
-            for iz in range(nz):
-                if use_vtp:
-                    w8 = fac['fac_vtp'][iz]
-                    acc = np.zeros(NG)
-                    sl = None
-                    for a_w, jw in ((0, fac['jwd'][iz]), (1, fac['jwu'][iz])):
-                        for a_t, jt in ((0, fac['jtd'][iz]), (1, fac['jtu'][iz])):
-                            for a_p, jp in ((0, fac['jpd'][iz]), (1, fac['jpu'][iz])):
-                                # index convention per reference: fac_vTp
-                                # first axis pairs (fvd with jwd-column)
-                                path = (f'/{gas_grp}/pressure.{jp + 1}/'
-                                        f'temperature.{jt + 1}/wv.{jw + 1}/'
-                                        f'{kname}.{wvl_i}')
-                                d = f[path][...]
-                                if sl is None:
-                                    sl = d[:, -1]
-                                acc += w8[a_w, a_t, a_p] * d[:, 2]
-                    contrib[iz] = gas_col[gas][iz] * acc
-                    if has_slit:
-                        slit[iz] = sl
-                else:
-                    w4 = fac['fac_tp'][iz]
-                    acc = np.zeros(NG)
-                    sl = None
+        contrib = np.zeros((nz, NG))
+        for iz in range(nz):
+            if use_vtp:
+                w8 = fac['fac_vtp'][iz]
+                acc = np.zeros(NG)
+                sl = None
+                for a_w, jw in ((0, fac['jwd'][iz]), (1, fac['jwu'][iz])):
                     for a_t, jt in ((0, fac['jtd'][iz]), (1, fac['jtu'][iz])):
                         for a_p, jp in ((0, fac['jpd'][iz]), (1, fac['jpu'][iz])):
-                            path = (f'/{gas_grp}/pressure.{jp + 1}/'
-                                    f'temperature.{jt + 1}/{kname}.{wvl_i}')
-                            d = f[path][...]
+                            # index convention per reference: fac_vTp
+                            # first axis pairs (fvd with jwd-column)
+                            d = fetch_k(gas_grp, kname, jp, jt, jw, wvl_i)
                             if sl is None:
                                 sl = d[:, -1]
-                            acc += w4[a_t, a_p] * d[:, 2]
-                    contrib[iz] = gas_col[gas][iz] * acc
-                    if has_slit:
-                        slit[iz] = sl
-            abso += contrib
+                            acc += w8[a_w, a_t, a_p] * d[:, 2]
+                contrib[iz] = gas_col[gas][iz] * acc
+                if has_slit:
+                    slit[iz] = sl
+            else:
+                w4 = fac['fac_tp'][iz]
+                acc = np.zeros(NG)
+                sl = None
+                for a_t, jt in ((0, fac['jtd'][iz]), (1, fac['jtu'][iz])):
+                    for a_p, jp in ((0, fac['jpd'][iz]), (1, fac['jpu'][iz])):
+                        d = fetch_k(gas_grp, kname, jp, jt, None, wvl_i)
+                        if sl is None:
+                            sl = d[:, -1]
+                        acc += w4[a_t, a_p] * d[:, 2]
+                contrib[iz] = gas_col[gas][iz] * acc
+                if has_slit:
+                    slit[iz] = sl
+        abso += contrib
 
     return AbsCoef(wvl=float(wavelength), abso_coef=abso, slit_func=slit,
                    solar=solar, weight=G16_WEIGHTS.copy(), synthetic=False)
+
+
+def abs_16g_from_h5(wavelength, atm, fname_h5):
+    """Correlated-k coefficients from the HDF5 database for one wavelength."""
+    import h5py
+
+    with h5py.File(fname_h5, 'r') as f:
+        def fetch_k(gas_grp, kname, jp, jt, jw, wvl_i):
+            wv = f'wv.{jw + 1}/' if jw is not None else ''
+            path = (f'/{gas_grp}/pressure.{jp + 1}/temperature.{jt + 1}/'
+                    f'{wv}{kname}.{wvl_i}')
+            return f[path][...]
+
+        def fetch_solar(sol_grp, wvl_i):
+            sgrp = f'{sol_grp}/solar_taug.{wvl_i}'
+            if sgrp not in f:
+                raise KeyError(f'abs_16g database lacks {sgrp}')
+            v1, v2, dv, npts, smn, smx, sint = f[f'{sgrp}/params'][...]
+            return v1, v2, f[f'{sgrp}/data'][...][:, -1]
+
+        return _accumulate(wavelength, atm, fetch_k, fetch_solar)
+
+
+def abs_16g_from_txt(wavelength, atm, fdir_k=None, fdir_s=None):
+    """Correlated-k coefficients from the legacy lab-server TEXT database
+    (reference abs_16g_txt, abs_crk.py:710-1378): a directory tree
+    ``{fdir_k}/{GAS}/pressure.{jp}/temperature.{jt}[/wv.{jw}]/{kg}.{wvl}``
+    of ``np.loadtxt``-able (Ng, cols) tables, with solar files
+    ``{fdir_s}/solar_*/solar_taug.{wvl}`` (1-2 header lines of band params
+    then Ng rows whose last column is the solar weight).
+    """
+    import os
+
+    fdir_k = fdir_k or os.environ.get('ER3T_ABS16G_TXT_DIR', '')
+    fdir_s = fdir_s or os.environ.get('ER3T_ABS16G_TXT_SOLAR_DIR',
+                                      os.path.join(fdir_k, 'solar_v1.3'))
+    if not fdir_k or not os.path.isdir(fdir_k):
+        raise FileNotFoundError(
+            'abs_16g_txt: set ER3T_ABS16G_TXT_DIR to the legacy text '
+            f'database root (got {fdir_k!r})')
+
+    def fetch_k(gas_grp, kname, jp, jt, jw, wvl_i):
+        gas_dir = gas_grp.split('/')[0]   # text tree has no k_arraynir level
+        wv = f'wv.{jw + 1}/' if jw is not None else ''
+        path = (f'{fdir_k}/{gas_dir}/pressure.{jp + 1}/'
+                f'temperature.{jt + 1}/{wv}{kname}.{wvl_i}')
+        return np.loadtxt(path, ndmin=2)
+
+    def fetch_solar(sol_grp, wvl_i):
+        sub = sol_grp.rsplit('/', 1)[-1]  # solar_uv | solar_k | ...
+        path = f'{fdir_s}/{sub}/solar_taug.{wvl_i}'
+        # two header layouts in the wild (abs_crk.py:1167-1176)
+        with open(path) as fh:
+            first = np.fromstring(fh.readline(), sep=' ', dtype=np.float64)
+            if first.size == 6:
+                skip = 2
+            else:
+                skip = 1
+        v1, v2 = first[0], first[1]
+        s0 = np.genfromtxt(path, skip_header=skip, ndmin=2)[:, -1]
+        return v1, v2, s0
+
+    return _accumulate(wavelength, atm, fetch_k, fetch_solar)

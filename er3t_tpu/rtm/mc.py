@@ -116,6 +116,12 @@ class SolverConfig:
     cam_qmax: float = 89.0             # fisheye half-angle [deg]
     cam_npix: int = 64                 # image is (cam_npix, cam_npix)
     cam_rmin: float = 50.0             # point-estimator distance clamp [m]
+    ablate: str = ''                   # profiling-only (scripts/tpu_profile_
+    #                                     ablate.py): comma-joined subset of
+    #                                     {'vox','phase','deposit'} replaces
+    #                                     that gather/scatter with a constant
+    #                                     to cost it by difference; NEVER use
+    #                                     for physics
 
 
 class Tallies(NamedTuple):

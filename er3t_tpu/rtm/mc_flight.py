@@ -240,12 +240,16 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
             return jnp.where(pin, ix0, ixl), jnp.where(pin, iy0, iyl)
         return ixl, iyl
 
+    ablate = set(cfg.ablate.split(',')) if cfg.ablate else set()
+
     def phase_eval(apf, mu, first=None):
         """P(mu) local-estimate row; ``first`` (the photon has never
         scattered or reflected — the ``direct`` flag, same criterion as
         rtm.mc) selects the TMS half of the table — exact Nakajima-Tanaka
         single scattering under delta-truncation (see pre/pha.py
         PhaseTable.p_tms)."""
+        if 'phase' in ablate:
+            return 0.75 * (1.0 + mu * mu)
         row = apf if first is None else apf + jnp.where(first, n_pf, 0)
         i0 = jnp.clip((((mu + 1.0) * 0.5 * (n_m - 1)) + 0.5).astype(jnp.int32),
                       0, n_m - 1)
@@ -253,6 +257,8 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         return jnp.where(apf == 0, 0.75 * (1.0 + mu * mu), p_tab)
 
     def phase_sample(apf, u):
+        if 'phase' in ablate:
+            return u * 2.0 - 1.0
         i0 = jnp.clip((u * (n_u - 1) + 0.5).astype(jnp.int32), 0, n_u - 1)
         return jnp.take(pt_mu_flat, apf * n_u + i0)
 
@@ -703,7 +709,10 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         k3 = jnp.clip(l_col - st.iz3l, 0, st.nz3 - 1)
         in3 = (l_col >= st.iz3l) & (l_col < st.iz3l + st.nz3) if st.has_3d \
             else jnp.zeros(B, bool)
-        vrow = vox[(ix * st.ny + iy) * st.nz3 + k3]
+        if 'vox' in ablate:
+            vrow = jnp.broadcast_to(vox[0], (B, 5))
+        else:
+            vrow = vox[(ix * st.ny + iy) * st.nz3 + k3]
         ext_c = jnp.where(in3, vrow[:, 0], 0.0)
         ssa_c = jnp.where(in3, vrow[:, 1], 1.0)
         apf_c = jnp.where(in3, vrow[:, 2].astype(jnp.int32), 0)
@@ -833,6 +842,8 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                     yp = (y - sy / mu_s * z) % ly
                     pidx = local_ix(xp) * nyr \
                         + jnp.floor(yp / st.dy).astype(jnp.int32) % nyr
+                if 'deposit' in ablate:
+                    pidx = jnp.zeros_like(pidx)
                 rad = rad.at[pidx].add(contrib)
                 if cfg.pathlength:
                     rad_pl = rad_pl.at[pidx].add(contrib * pl_det)

@@ -72,3 +72,44 @@ def test_synthetic_spectral_shape(atm):
         od[wvl] = (coef.abso_coef * coef.weight[None, :]).sum()
     assert od[762.0] > 10 * od[650.0]
     assert od[1380.0] > 10 * od[650.0]
+
+
+def _make_mini_txt_db(fdir, wvl=650, kval=1e-4):
+    """Legacy text-tree twin of _make_mini_db (reference abs_16g_txt layout:
+    {fdir}/{GAS}/pressure.{jp}/temperature.{jt}/{kg}.{wvl} text tables +
+    solar_v1.3/solar_k/solar_taug.{wvl} with a header line)."""
+    ng = 16
+    for gas, kname in (('H2O', 'kgh2o'), ('O3', 'kgo3'), ('O2_cont5', 'kgo2')):
+        for jp in range(1, 60):
+            for jt in range(1, 5):
+                d = np.zeros((ng, 4))
+                d[:, 2] = kval
+                d[:, 3] = 1.0
+                p = os.path.join(fdir, gas, f'pressure.{jp}',
+                                 f'temperature.{jt}')
+                os.makedirs(p, exist_ok=True)
+                np.savetxt(os.path.join(p, f'{kname}.{wvl}'), d)
+    sdir = os.path.join(fdir, 'solar_v1.3', 'solar_k')
+    os.makedirs(sdir, exist_ok=True)
+    v1, v2 = 1.0e7 / (wvl + 5.0), 1.0e7 / (wvl - 5.0)
+    data = np.zeros((ng, 4))
+    data[:, -1] = 1.55 * 10.0 / (v2 - v1)
+    with open(os.path.join(sdir, f'solar_taug.{wvl}'), 'w') as f:
+        f.write(f'{v1} {v2} 0.01 100 0 2 1.6\n')
+        np.savetxt(f, data)
+
+
+def test_abs_16g_txt_loader(tmp_path, atm):
+    """The legacy text-database path produces identical coefficients to the
+    HDF5 path on equivalent databases (abs_crk.py:710-1378 role)."""
+    from er3t_tpu.pre.abs_16g_db import abs_16g_from_txt
+    fdir = str(tmp_path / 'txtdb')
+    _make_mini_txt_db(fdir)
+    coef = abs_16g_from_txt(650.0, atm, fdir_k=fdir)
+    col = (atm.lay.h2o + atm.lay.o3 + atm.lay.o2) * 1e-20 * 1e5 * atm.lay.thickness
+    np.testing.assert_allclose(coef.abso_coef[:, 0], 1e-4 * col, rtol=1e-6)
+    assert coef.solar[0] == pytest.approx(1.55, rel=1e-6)
+    assert np.all(coef.slit_func == 1.0)
+    # missing directory raises a clear error
+    with pytest.raises(FileNotFoundError, match='ER3T_ABS16G_TXT_DIR'):
+        abs_16g_from_txt(650.0, atm, fdir_k=str(tmp_path / 'nope'))
