@@ -167,3 +167,24 @@ def test_decomp_rejects_unsupported_configs(cloudy_scene):
                          1000, mesh)
     with pytest.raises(NotImplementedError, match='pathlength'):
         transport_decomp(scn, st, SolverConfig(pathlength=True), 1000, mesh)
+
+
+def test_mesh_shapes_and_errors():
+    """Mesh construction: axis sizing, divisibility errors, and the
+    decomposition nx % n_dev error path."""
+    from er3t_tpu.dist import mesh as m
+    msh = m.make_mesh(8, decomp=4)
+    assert dict(msh.shape) == {'x': 4, 'b': 2}
+    msh1 = m.make_mesh(6)
+    assert dict(msh1.shape) == {'x': 6, 'b': 1}
+    with pytest.raises(ValueError, match='not divisible'):
+        m.make_mesh(6, decomp=4)
+    # init_distributed is a safe no-op on a single process
+    m.init_distributed()
+
+
+def test_decomp_rejects_uneven_nx(cloudy_scene):
+    ab, scn, st = cloudy_scene
+    mesh = make_mesh(5, decomp=5)        # nx=16 not divisible by 5
+    with pytest.raises(ValueError, match='divide'):
+        transport_decomp(scn, st, SolverConfig(), 1000, mesh)
