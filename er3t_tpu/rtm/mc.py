@@ -116,6 +116,18 @@ class SolverConfig:
     cam_qmax: float = 89.0             # fisheye half-angle [deg]
     cam_npix: int = 64                 # image is (cam_npix, cam_npix)
     cam_rmin: float = 50.0             # point-estimator distance clamp [m]
+    qmc_launch: bool = False           # flight kernel: stratified-jitter
+    #                                     launch — photon index -> shuffled
+    #                                     grid cell + in-cell jitter, so
+    #                                     per-pixel launch counts are +-1
+    #                                     instead of Poisson (the dominant
+    #                                     clear-pixel noise term under local
+    #                                     estimation); unbiased (random cell
+    #                                     offset per run).  Off by default:
+    #                                     measured neutral for satellite
+    #                                     radiance (slant drift to the first
+    #                                     event re-randomizes the deposit
+    #                                     pixel — BENCH_NOTES.md)
     ablate: str = ''                   # profiling-only (scripts/tpu_profile_
     #                                     ablate.py): comma-joined subset of
     #                                     {'vox','phase','deposit'} replaces

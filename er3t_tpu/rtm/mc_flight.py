@@ -55,6 +55,18 @@ __all__ = ['transport_flight', 'run_transport_flight', 'make_flight_kernel',
 
 _F = jnp.float32
 
+def _coprime_stride(n: int) -> int:
+    """Largest stride <= min(0.618 n, (2^32-1)//n) coprime to ``n``.
+
+    Used as a bijective multiplicative shuffle ``cell = (i % n) * stride % n``
+    computable in uint32 without overflow (stride * n < 2^32).
+    """
+    import math
+    s = max(1, min(int(0.618 * n), (2 ** 32 - 1) // max(n, 1)))
+    while s > 1 and math.gcd(s, n) != 1:
+        s -= 1
+    return s
+
 
 @dataclasses.dataclass(frozen=True)
 class SlabSpec:
@@ -242,6 +254,22 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
 
     ablate = set(cfg.ablate.split(',')) if cfg.ablate else set()
 
+    if cfg.qmc_launch:
+        # Stratified-jitter launch: the photon's launch index maps bijectively
+        # (multiplicative shuffle + random per-run offset) onto a grid cell of
+        # the local domain, and the position is jittered uniformly inside the
+        # cell.  Per-pixel launch counts are then within +-1 per n_cell block
+        # instead of Poisson — the dominant noise term of clear-sky pixels
+        # under local estimation — and the estimator is unbiased (the random
+        # offset makes the +-1 remainder cells uniform; the jitter is fresh
+        # RNG).  Stratification can only reduce the variance of the
+        # launch-count component; the reference's MCARaTS launches uniformly.
+        n_cell = int(nx_loc) * int(st.ny)
+        q_stride = jnp.uint32(_coprime_stride(n_cell))
+        q_ncell = jnp.uint32(n_cell)
+        q_off = jax.random.randint(jax.random.fold_in(key, 0x5149D3), (),
+                                   0, n_cell, dtype=jnp.int32).astype(jnp.uint32)
+
     def phase_eval(apf, mu, first=None):
         """P(mu) local-estimate row; ``first`` (the photon has never
         scattered or reflected — the ``direct`` flag, same criterion as
@@ -327,8 +355,18 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         order = jnp.cumsum(dead.astype(jnp.int32))
         spawn = dead & (order <= quota)
         launched = c.launched + jnp.sum(spawn.astype(jnp.int32))
-        x = jnp.where(spawn, x_off + u[:, 0] * lx_loc, c.x)
-        y = jnp.where(spawn, u[:, 1] * ly, c.y)
+        if cfg.qmc_launch:
+            idx = (c.launched + order - 1).astype(jnp.uint32)
+            # (idx % n + off) * stride % n: bijective per n_cell block;
+            # stride*n < 2^32 so the uint32 product never wraps
+            cell = ((idx + q_off) % q_ncell) * q_stride % q_ncell
+            cx = (cell // jnp.uint32(st.ny)).astype(_F)
+            cy = (cell % jnp.uint32(st.ny)).astype(_F)
+            x = jnp.where(spawn, x_off + (cx + u[:, 0]) * st.dx, c.x)
+            y = jnp.where(spawn, (cy + u[:, 1]) * st.dy, c.y)
+        else:
+            x = jnp.where(spawn, x_off + u[:, 0] * lx_loc, c.x)
+            y = jnp.where(spawn, u[:, 1] * ly, c.y)
         z = jnp.where(spawn, z_top, c.z)
         ux = jnp.where(spawn, u0x, c.ux)
         uy = jnp.where(spawn, u0y, c.uy)

@@ -148,7 +148,8 @@ def solve(atm=None, abs_coef=None, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
           spectral='correlated', flux_per_column=None, chunk=4_000_000,
           forward_trunc_deg=None, tile_size=0, flux_engine='flight',
           flux_kcross=4, cf_dtau=0.0, pathlength=False, split_wmax=0.0,
-          rr_wmin=0.1, n_scat_max=2000, mesh=None, diffusion=0):
+          rr_wmin=0.1, n_scat_max=2000, mesh=None, diffusion=0,
+          qmc_launch=False):
     """Run a full radiative-transfer simulation — the single front door.
 
     Parameters mirror ``mcarats_ng`` (reference mcarats.py:62-231).  Every
@@ -176,6 +177,10 @@ def solve(atm=None, abs_coef=None, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
     Sca_nchi/qtfmax               forward_trunc_deg (delta truncation + TMS)
     Flx_nxb/nyb                   flux_per_column (per-column vs average)
     Flx_diff0/1, Rad_difr0/1      er3t_tpu.rtm.out smoothing (diffusion=)
+    (no MCARaTS counterpart)      qmc_launch=True — stratified-jitter launch
+                                  (per-pixel launch counts +-1; large win for
+                                  surface-dominated nadir scenes, neutral for
+                                  slant-sun scenes — BENCH_NOTES.md)
     Nrun statistics               n_run (per-run mean/std)
     photon fan-out / MPI          mesh= (jax.sharding.Mesh with ('x','b')
                                   axes: 'x'>1 = x-slab domain decomposition
@@ -237,6 +242,7 @@ def solve(atm=None, abs_coef=None, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
         cam_zloc=float(cam['zloc']), cam_phi=float(cam['phi']),
         cam_the=float(cam['the']), cam_psi=float(cam['psi']),
         cam_qmax=float(cam['qmax']), cam_npix=int(cam['npix']),
+        qmc_launch=bool(qmc_launch),
     )
 
     mu0 = float(np.cos(np.deg2rad(solar_zenith_angle)))

@@ -316,3 +316,40 @@ def test_diffusion_smoothing(atm):
     r1 = solver.solve(diffusion=2, **kw)
     assert r1['rad'].mean() == pytest.approx(r0['rad'].mean(), rel=1e-6)
     assert r1['rad'].std() < r0['rad'].std()
+
+
+def test_stratified_launch(atm):
+    """Stratified-jitter launch (SolverConfig.qmc_launch): unbiased, and with
+    an overhead sun (no slant drift between launch pixel and first-event
+    deposit) it must cut the per-pixel variance of clear-sky nadir radiance
+    well below the Poisson-count level of uniform launching."""
+    from er3t_tpu.pre.cld import cld_gen_hem
+    from er3t_tpu.rtm.scene import build_scene
+    from er3t_tpu.rtm.mc import SolverConfig
+    from er3t_tpu.rtm.mc_flight import run_transport_flight
+
+    atm_f = atm_atmmod(np.concatenate([np.arange(0, 3.0, 0.5),
+                                       np.arange(3.0, 20.1, 2.0)]))
+    ab = abs_synthetic(650.0, atm_f)
+    cld = cld_gen_hem(nx=24, ny=24, nz=3, dx=0.1, dy=0.1, dz=0.5,
+                      cloud_frac_tgt=0.0, radii=(0.3,), cot_scale=0.0,
+                      cloud_base=0.5, seed=3)  # clear sky on a 24x24 grid
+    # bright surface: the surface-reflection deposit (launch pixel at SZA=0,
+    # deterministic weight) dominates, so launch-count equalization must
+    # remove nearly all pixel noise (measured ~18x on this scene)
+    scene, st = build_scene(atm_f, ab, cld=cld, surface=0.8,
+                            solar_zenith_angle=0.0)
+    n = 60_000
+    var = {}
+    mean = {}
+    for qmc in (False, True):
+        cfg = SolverConfig(target='radiance', batch=1 << 12, qmc_launch=qmc)
+        imgs = []
+        for k in range(6):
+            t = run_transport_flight(scene, st, cfg, n, seed=20 + k)
+            imgs.append(np.asarray(t.rad).sum(-1) / int(t.n_launched))
+        imgs = np.stack(imgs)
+        mean[qmc] = imgs.mean()
+        var[qmc] = imgs.var(axis=0, ddof=1).mean()
+    assert mean[True] == pytest.approx(mean[False], rel=0.02)   # unbiased
+    assert var[True] < 0.2 * var[False]                         # stratified
