@@ -97,7 +97,7 @@ def transport_decomp(scene, st, cfg: SolverConfig, n_photon: int, mesh,
     ring_l = [(i, (i - 1) % n_dev) for i in range(n_dev)]
 
     # shard 3D fields along x, replicate the rest
-    specs3d = {'ext3d', 'ssa3d', 'apf3d'}
+    specs3d = {'ext3d', 'ssa3d', 'apf3d', 'cf3d'}
     sfc_sharded = st.nxs == st.nx  # per-column surface maps follow the slabs
     in_specs = type(scene)(*[
         P('x') if (f in specs3d or (sfc_sharded and f in ('jsfc', 'psfc')))

@@ -64,9 +64,13 @@ def mc_ref_run(scene, st, albedo, sza_deg, saa_deg, n_photon, seed=1,
     sig_aer = f64(np.asarray(scene.sig_aer).sum(axis=1))
     kabs = f64(scene.kabs)
     sig_maj = f64(scene.sig_maj)
+    if getattr(st, 'ns3', 1) != 1:
+        raise NotImplementedError(
+            'the native cross-check solver models a single 3D constituent; '
+            'per-constituent scenes are cross-validated flight-vs-marching')
     ext3d = f64(scene.ext3d)
-    ssa3d = f64(scene.ssa3d)
-    apf3d = i32(scene.apf3d)
+    ssa3d = f64(np.asarray(scene.ssa3d)[..., 0])
+    apf3d = i32(np.asarray(scene.apf3d)[..., 0])
     pt_mu = f64(scene.pt_mu)
     pt_p = f64(scene.pt_p)
 

@@ -216,8 +216,6 @@ def transport(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
          jnp.zeros((st.nx, st.ny, 1), _F)], axis=-1)               # (Nx, Ny, Nz3+1)
 
     ext3d_flat = scene.ext3d.reshape(-1)
-    ssa3d_flat = scene.ssa3d.reshape(-1)
-    apf3d_flat = scene.apf3d.reshape(-1)
     cum3d_flat = cum3d.reshape(-1)
 
     # packed per-layer and per-voxel tables: gathers cost ~per-row on TPU,
@@ -226,8 +224,15 @@ def transport(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
     lay_tab = jnp.concatenate(
         [jnp.stack([scene.z_lev[:-1], scene.z_lev[1:], scene.sig_maj,
                     scene.sig_ray], axis=1), scene.sig_aer], axis=1)  # (Nz, 4+Na)
-    vox3 = jnp.stack([ext3d_flat, ssa3d_flat, apf3d_flat.astype(_F)],
-                     axis=1)                                        # (Nvox, 3)
+    # [ext_tot, then per 3D constituent slot s: (cf_s, ssa_s, apf_s)] — the
+    # constituent driving a collision is chosen by extinction share
+    # (reference: per-constituent omg/apf blocks, mca_atm.py:340-370)
+    ns3 = st.ns3
+    vox3 = jnp.concatenate(
+        [ext3d_flat[:, None],
+         jnp.stack([scene.cf3d.reshape(-1, ns3), scene.ssa3d.reshape(-1, ns3),
+                    scene.apf3d.reshape(-1, ns3).astype(_F)],
+                   axis=2).reshape(-1, 3 * ns3)], axis=1)  # (Nvox, 1 + 3 Ns)
 
     kabs_min = jnp.min(scene.kabs, axis=1)                         # (Nz,)
     n_u = scene.pt_mu.shape[1]
@@ -433,8 +438,21 @@ def transport(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                         axis=1).astype(jnp.int32)
         ssa_a = jnp.sum(oh_a * scene.aer_ssa[None, :], axis=1)
 
-        ssa_c = jnp.where(in3, vr[:, 1], 1.0)
-        apf_c = jnp.where(in3, vr[:, 2].astype(jnp.int32), 0)
+        # 3D-constituent slot by extinction share: given ch_cld,
+        # (pick - sig_r - sig_a)/ext_c is a fresh U[0,1) deviate
+        u_c = jnp.clip((pick - sig_r - sig_a)
+                       / jnp.maximum(ext_c, 1e-30), 0.0, 1.0 - 1e-7)
+        slot = jnp.zeros(B, jnp.int32)
+        for s_ in range(ns3 - 1):
+            slot = slot + (u_c >= vr[:, 1 + 3 * s_]).astype(jnp.int32)
+        ssa_sel = vr[:, 2]
+        apf_sel = vr[:, 3]
+        for s_ in range(1, ns3):
+            m_ = slot == s_
+            ssa_sel = jnp.where(m_, vr[:, 2 + 3 * s_], ssa_sel)
+            apf_sel = jnp.where(m_, vr[:, 3 + 3 * s_], apf_sel)
+        ssa_c = jnp.where(in3, ssa_sel, 1.0)
+        apf_c = jnp.where(in3, apf_sel, 0.0).astype(jnp.int32)
         apf = jnp.where(ch_cld, apf_c, jnp.where(ch_aer, apf_a, 0))
         ssa_ev = jnp.where(ch_cld, ssa_c, jnp.where(ch_aer, ssa_a, 1.0))
 

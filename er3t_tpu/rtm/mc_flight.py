@@ -184,17 +184,26 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
 
     sx, sy, mu_s = _sensor_dir(cfg)
 
-    # packed voxel table: [ext, ssa, apf, cum_ext_above_voxel_top]
+    # packed voxel table: [ext_tot, cum_ext_above_voxel_top, col_tot,
+    # then per 3D constituent slot s: (cf_s, ssa_s, apf_s)] — the slots
+    # carry each constituent's own ssa/phase row, selected at collision
+    # time by extinction share (reference: per-constituent omg/apf blocks,
+    # mca_atm.py:340-370)
+    ns3 = st.ns3
     dz3 = dz_lay[st.iz3l:st.iz3l + st.nz3]
     cum3d_top = jnp.concatenate(
         [jnp.cumsum((scene.ext3d * dz3[None, None, :])[..., ::-1], axis=-1)[..., ::-1][..., 1:],
          jnp.zeros((nx_loc, st.ny, 1), _F)], axis=-1)
     col_tot3d = cum3d_top[..., 0] + scene.ext3d[..., 0] * dz3[0] \
         if st.nz3 > 0 else jnp.zeros((nx_loc, st.ny))
-    vox = jnp.stack([scene.ext3d, scene.ssa3d, scene.apf3d.astype(_F),
-                     cum3d_top,
-                     jnp.broadcast_to(col_tot3d[..., None], scene.ext3d.shape)],
-                    axis=-1).reshape(-1, 5)
+    slot_fields = []
+    for s in range(ns3):
+        slot_fields += [scene.cf3d[..., s], scene.ssa3d[..., s],
+                        scene.apf3d[..., s].astype(_F)]
+    vox = jnp.stack(
+        [scene.ext3d, cum3d_top,
+         jnp.broadcast_to(col_tot3d[..., None], scene.ext3d.shape)]
+        + slot_fields, axis=-1).reshape(-1, 3 + 3 * ns3)
 
     # absorption + sensor-attenuation matmul operator (see module docstring)
     kext = jnp.concatenate([scene.kabs, kabs_min[:, None]], axis=1)
@@ -267,7 +276,11 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         n_cell = int(nx_loc) * int(st.ny)
         q_stride = jnp.uint32(_coprime_stride(n_cell))
         q_ncell = jnp.uint32(n_cell)
-        q_off = jax.random.randint(jax.random.fold_in(key, 0x5149D3), (),
+        # 2^30 - 1 lies outside both per-iteration fold_in domains
+        # (c.step < max_steps << 2^30 - 1, and the splitting stream uses
+        # c.step + 2^30), so the offset key can never collide with an
+        # iteration's deviate stream
+        q_off = jax.random.randint(jax.random.fold_in(key, 0x3FFFFFFF), (),
                                    0, n_cell, dtype=jnp.int32).astype(jnp.uint32)
 
     def phase_eval(apf, mu, first=None):
@@ -748,12 +761,10 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         in3 = (l_col >= st.iz3l) & (l_col < st.iz3l + st.nz3) if st.has_3d \
             else jnp.zeros(B, bool)
         if 'vox' in ablate:
-            vrow = jnp.broadcast_to(vox[0], (B, 5))
+            vrow = jnp.broadcast_to(vox[0], (B, 3 + 3 * ns3))
         else:
             vrow = vox[(ix * st.ny + iy) * st.nz3 + k3]
         ext_c = jnp.where(in3, vrow[:, 0], 0.0)
-        ssa_c = jnp.where(in3, vrow[:, 1], 1.0)
-        apf_c = jnp.where(in3, vrow[:, 2].astype(jnp.int32), 0)
 
         z_hi_col = jnp.sum(oh_col * z_lev[None, 1:], axis=1)
         if st.has_3d:
@@ -761,8 +772,8 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
             above3 = l_col >= st.iz3l + st.nz3
             tau3_above = jnp.where(
                 above3, 0.0,
-                jnp.where(below3, vrow[:, 3] + vrow[:, 0] * dz3[0],
-                          vrow[:, 3] + vrow[:, 0] * (z_hi_col - z))) / mu_s
+                jnp.where(below3, vrow[:, 1] + vrow[:, 0] * dz3[0],
+                          vrow[:, 1] + vrow[:, 0] * (z_hi_col - z))) / mu_s
         else:
             tau3_above = jnp.zeros(B, _F)
 
@@ -780,6 +791,23 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         ch_ray = accept & (pick < sig_r)
         ch_aer = accept & ~ch_ray & (pick < sig_r + sig_a)
         ch_cld = accept & ~ch_ray & ~ch_aer
+        # 3D-constituent selection by extinction share: given ch_cld,
+        # (pick - sig_r - sig_a)/ext_c is a fresh U[0,1) deviate; comparing
+        # it against the cumulative-fraction boundaries picks the slot whose
+        # own ssa/phase row drives this event
+        u_c = jnp.clip((pick - sig_r - sig_a)
+                       / jnp.maximum(ext_c, 1e-30), 0.0, 1.0 - 1e-7)
+        slot = jnp.zeros(B, jnp.int32)
+        for s in range(ns3 - 1):
+            slot = slot + (u_c >= vrow[:, 3 + 3 * s]).astype(jnp.int32)
+        ssa_sel = vrow[:, 4]
+        apf_sel = vrow[:, 5]
+        for s in range(1, ns3):
+            m = slot == s
+            ssa_sel = jnp.where(m, vrow[:, 4 + 3 * s], ssa_sel)
+            apf_sel = jnp.where(m, vrow[:, 5 + 3 * s], apf_sel)
+        ssa_c = jnp.where(in3, ssa_sel, 1.0)
+        apf_c = jnp.where(in3, apf_sel, 0.0).astype(jnp.int32)
         c_aer = jnp.clip(jnp.sum((jnp.cumsum(sig_ac, axis=1)
                                   < (pick - sig_r)[:, None]).astype(jnp.int32),
                                  axis=1), 0, n_aer - 1)
@@ -820,8 +848,8 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                 if st.has_3d:
                     tau3_below = jnp.where(
                         l_col < st.iz3l, 0.0,
-                        jnp.where(l_col >= st.iz3l + st.nz3, vrow[:, 4],
-                                  vrow[:, 4] - vrow[:, 3]
+                        jnp.where(l_col >= st.iz3l + st.nz3, vrow[:, 2],
+                                  vrow[:, 2] - vrow[:, 1]
                                   - vrow[:, 0] * (z_hi_col - z)))
                     tau3_below = jnp.clip(tau3_below, 0.0, None)
                     # camera above the deck top sees the deck portion ABOVE

@@ -11,9 +11,12 @@ under delta-truncation), evaluated by ray marching under ``lax.scan``.
     I(pixel) = int exp(-tau_view(s)) k_sca(s) P(Theta)/(4 pi)
                exp(-tau_sun(s)) ds   +  surface term,
 
-with the solar attenuation taken through the local vertical column (the
-flight kernel's tau3_above treatment) and gas absorption carried per
-g-point.
+with the solar attenuation through the 3D deck marched along the SLANT sun
+path (each deck layer sampled at the sun ray's midpoint column — shadows
+fall at z tan(SZA), not straight down; the 1D portion stays the exact
+plane-parallel cumulative) and gas absorption carried per g-point.  In IPA
+mode the solar path reverts to the local vertical column (no horizontal
+transport by definition).
 """
 
 from __future__ import annotations
@@ -134,8 +137,12 @@ def _render(scene, st, cfg, n_steps):
         lambda r: phase_eval(jnp.full((n_ray,), r, jnp.int32), mu_sc)
     )(scene.aer_apf).T
 
-    vox = jnp.stack([scene.ext3d, scene.ssa3d, scene.apf3d.astype(_F)],
-                    axis=-1).reshape(-1, 3)
+    ns3 = st.ns3
+    # [ext_tot, cf_0..cf_{Ns-1}, ssa_0.., apf_0..] per voxel
+    vox = jnp.concatenate(
+        [scene.ext3d[..., None], scene.cf3d, scene.ssa3d,
+         scene.apf3d.astype(_F)], axis=-1).reshape(-1, 1 + 3 * ns3)
+    ext3d_flat = scene.ext3d.reshape(-1)
 
     def sample(pos):
         """Optical properties and solar transmission at positions (Np, 3)."""
@@ -150,18 +157,17 @@ def _render(scene, st, cfg, n_steps):
         in3 = (l >= st.iz3l) & (l < st.iz3l + st.nz3) & bool(st.has_3d)
         vr = vox[(ix * st.ny + iy) * st.nz3 + k3]
         ext_c = jnp.where(in3, vr[:, 0], 0.0)
-        ssa_c = jnp.where(in3, vr[:, 1], 1.0)
-        apf_c = jnp.where(in3, vr[:, 2].astype(jnp.int32), 0)
         sig_r = jnp.take(scene.sig_ray, l)
         sig_ac = jnp.take(scene.sig_aer, l, axis=0)           # (Np, Na)
         kab = jnp.take(scene.kabs, l, axis=0)                 # (Np, Ng)
-        # solar attenuation through the local vertical column
+        # 1D solar attenuation: exact plane-parallel cumulative above z
         z_up = jnp.take(z_lev, l + 1)
         part = (jnp.take(sig_1d, l) * (z_up - z))[:, None] \
             + jnp.take(scene.kabs, l, axis=0) * (z_up - z)[:, None]
         t_sun = jnp.take(cum_sig, l + 1)[:, None] \
             + jnp.take(cum_abs, l + 1, axis=0) + part
-        if st.has_3d:
+        if st.has_3d and st.ipa:
+            # IPA: vertical column by definition
             idx3 = (ix * st.ny + iy) * (st.nz3 + 1) + jnp.clip(k3 + 1, 0, st.nz3)
             t3 = jnp.where(in3,
                            jnp.take(cum3d, idx3) + ext_c * (z_up - z),
@@ -169,8 +175,30 @@ def _render(scene, st, cfg, n_steps):
                                      jnp.take(cum3d, (ix * st.ny + iy)
                                               * (st.nz3 + 1))))
             t_sun = t_sun + t3[:, None]
+        elif st.has_3d:
+            # slant solar path: march the sun ray up through each deck
+            # layer above z, sampling ext3d at the ray's midpoint column
+            # (one bounded loop over deck layers — VERDICT r2 item 7)
+            t3 = jnp.zeros_like(x)
+            for k3s in range(st.nz3):
+                lk = st.iz3l + k3s
+                z_lo3 = z_lev[lk]
+                z_hi3 = z_lev[lk + 1]
+                seg = jnp.clip(z_hi3 - jnp.maximum(z, z_lo3),
+                               0.0, z_hi3 - z_lo3)
+                z_mid = jnp.maximum(z, z_lo3) + 0.5 * seg
+                # going up by dz displaces horizontally by -u0_xy dz/mu0
+                # (u0 is the photon travel direction, z-component -mu0)
+                xm = (x - u0[0] * (z_mid - z) / mu0) % lx
+                ym = (y - u0[1] * (z_mid - z) / mu0) % ly
+                ixm = jnp.clip((xm / st.dx).astype(jnp.int32), 0, st.nx - 1)
+                iym = jnp.clip((ym / st.dy).astype(jnp.int32), 0, st.ny - 1)
+                idx = (ixm * st.ny + iym) * st.nz3 + k3s
+                t3 = t3 + jnp.where(seg > 0,
+                                    jnp.take(ext3d_flat, idx) * seg, 0.0)
+            t_sun = t_sun + t3[:, None]
         t_sun = t_sun / mu0
-        return sig_r, sig_ac, ext_c, ssa_c, apf_c, kab, t_sun, x, y
+        return sig_r, sig_ac, ext_c, vr, in3, kab, t_sun, x, y
 
     # phase values for the cloud rows vary per sample (apf_c); gather at
     # each step (one LUT row per ray)
@@ -181,11 +209,23 @@ def _render(scene, st, cfg, n_steps):
         tau_v, acc = carry
         s = (k + 0.5) * ds                # midpoint-sampled properties
         pos = cam[None, :] + d * s[:, None]
-        sig_r, sig_ac, ext_c, ssa_c, apf_c, kab, t_sun, _, _ = sample(pos)
-        # source: Rayleigh + per-constituent aerosol + cloud
+        sig_r, sig_ac, ext_c, vr, in3, kab, t_sun, _, _ = sample(pos)
+        # source: Rayleigh + per-constituent aerosol + 3D constituents.
+        # Each 3D slot contributes its extinction share x its own ssa and
+        # phase — the deterministic render evaluates the exact mixture
+        # (the MC kernels sample the same mixture by extinction share)
+        cld_src = jnp.zeros_like(ext_c)
+        cf_prev = jnp.zeros_like(ext_c)
+        for s_ in range(ns3):
+            cf_s = jnp.where(in3, vr[:, 1 + s_], 1.0)
+            ssa_s = vr[:, 1 + ns3 + s_]
+            apf_s = jnp.where(in3, vr[:, 1 + 2 * ns3 + s_],
+                              0.0).astype(jnp.int32)
+            cld_src = cld_src + (cf_s - cf_prev) * ssa_s * phase_cld(apf_s)
+            cf_prev = cf_s
         src = (sig_r * p_ray
                + jnp.sum(sig_ac * scene.aer_ssa[None, :] * p_aer, axis=1)
-               + ext_c * ssa_c * phase_cld(apf_c)) / (4.0 * jnp.pi)
+               + ext_c * cld_src) / (4.0 * jnp.pi)
         sig_t = sig_r + jnp.sum(sig_ac, axis=1) + ext_c       # scattering
         # exact within-step integration (constant properties per step):
         # int_0^ds e^{-tau0 - k t} src dt = src e^{-tau0} (1-e^{-k ds})/k —

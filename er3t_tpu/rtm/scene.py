@@ -53,9 +53,17 @@ class SceneArrays(NamedTuple):
     #                           add_mca_1d_atm (mca_atm.py:105-139)
     aer_ssa: jnp.ndarray      # (Na,) per-constituent single-scattering albedo
     aer_apf: jnp.ndarray      # (Na,) int32 per-constituent phase-table row
-    ext3d: jnp.ndarray        # (Nx, Ny, Nz3) [1/m] (Nz3 >= 1)
-    ssa3d: jnp.ndarray        # (Nx, Ny, Nz3)
-    apf3d: jnp.ndarray        # (Nx, Ny, Nz3) int32 phase rows
+    ext3d: jnp.ndarray        # (Nx, Ny, Nz3) TOTAL extinction over all 3D
+    #                           constituents [1/m] (Nz3 >= 1)
+    ssa3d: jnp.ndarray        # (Nx, Ny, Nz3, Ns) per-constituent ssa
+    apf3d: jnp.ndarray        # (Nx, Ny, Nz3, Ns) int32 per-constituent
+    #                           phase rows
+    cf3d: jnp.ndarray         # (Nx, Ny, Nz3, Ns) cumulative extinction-
+    #                           fraction upper boundaries (last slot = 1):
+    #                           at a 3D collision the constituent is chosen
+    #                           by extinction share (reference: every 3D
+    #                           constituent carries its own omg/apf per
+    #                           voxel, mca_atm.py:340-370)
     pt_mu: jnp.ndarray        # (Npf, Nu) inverse-CDF sampling LUT
     pt_p: jnp.ndarray         # (2*Npf, Nm) P(mu) eval LUT: working rows,
     #                           then TMS rows (first-order local estimates)
@@ -81,6 +89,7 @@ class SceneStatic:
     has_3d: bool
     has_aer1d: bool
     ipa: bool = False         # independent-pixel mode (no horizontal transport)
+    ns3: int = 1              # number of 3D constituents (cloud + 3D aerosols)
 
 
 def _cloud_to_grids(cld, pha, atm):
@@ -178,35 +187,50 @@ def build_scene(atm, abs_coef, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
                        dtype=np.int32)
     aer3d_rows = [first_extra + len(aer_1ds) + j for j in range(len(aer_3ds))]
 
-    # 3D region
+    # 3D region: one slot per constituent (cloud + each 3D aerosol).  Every
+    # constituent keeps its own ssa and phase row per voxel, selected at
+    # collision time by extinction share — the exact counterpart of the
+    # reference writing per-constituent omg/apf blocks into mca_atm_3d.bin
+    # (mca_atm.py:340-370); wherever cloud and aerosol overlap, each event
+    # scatters with the selected constituent's own phase function.
     if cld is not None:
-        iz3l, nz3, ext3d, ssa3d, apf3d = _cloud_to_grids(cld, pha, atm)
+        iz3l, nz3, ext_c, ssa_c, apf_c = _cloud_to_grids(cld, pha, atm)
         nx, ny = cld.nx, cld.ny
         dx, dy = cld.dx * 1000.0, cld.dy * 1000.0
-        if table.trunc_f is not None and np.any(table.trunc_f > 0):
-            # delta-truncation similarity scaling (peak energy continues
-            # unscattered): ext' = ext(1 - ssa f), ssa' = ssa(1-f)/(1-ssa f)
-            f_vox = table.trunc_f[apf3d]
-            sf = 1.0 - ssa3d * f_vox
-            ssa3d = (ssa3d * (1.0 - f_vox) / np.maximum(sf, 1e-9)).astype(np.float32)
-            ext3d = (ext3d * sf).astype(np.float32)
+        exts = [ext_c]
+        ssas = [ssa_c]
+        apfs = [apf_c]
         for j, a in enumerate(aer_3ds):
-            # exact two-constituent merge: effective ssa and dominant phase
-            ea = np.asarray(a.extinction, dtype=np.float32)
-            tot = ext3d + ea
-            with np.errstate(invalid='ignore', divide='ignore'):
-                ssa_m = np.where(tot > 0, (ext3d * ssa3d + ea * a.ssa) / np.maximum(tot, 1e-30), 1.0)
-            apf3d = np.where(ea * a.ssa > ext3d * ssa3d, aer3d_rows[j],
-                             apf3d).astype(np.int32)
-            ext3d, ssa3d = tot.astype(np.float32), ssa_m.astype(np.float32)
+            exts.append(np.asarray(a.extinction, dtype=np.float32))
+            ssas.append(np.full_like(exts[-1], np.float32(a.ssa)))
+            apfs.append(np.full(exts[-1].shape, aer3d_rows[j], dtype=np.int32))
+        if table.trunc_f is not None and np.any(table.trunc_f > 0):
+            # delta-truncation similarity scaling per constituent (peak
+            # energy continues unscattered): ext' = ext(1 - ssa f),
+            # ssa' = ssa(1-f)/(1-ssa f), with f of that constituent's row
+            for s in range(len(exts)):
+                f_vox = table.trunc_f[apfs[s]]
+                sf = 1.0 - ssas[s] * f_vox
+                ssas[s] = (ssas[s] * (1.0 - f_vox)
+                           / np.maximum(sf, 1e-9)).astype(np.float32)
+                exts[s] = (exts[s] * sf).astype(np.float32)
+        ext3d = np.sum(exts, axis=0).astype(np.float32)
+        ssa3d = np.stack(ssas, axis=-1)
+        apf3d = np.stack(apfs, axis=-1)
+        with np.errstate(invalid='ignore', divide='ignore'):
+            cf3d = np.cumsum(np.stack(exts, axis=-1), axis=-1) \
+                / np.maximum(ext3d[..., None], 1e-30)
+        cf3d[..., -1] = 1.0
+        cf3d = np.where(ext3d[..., None] > 0, cf3d, 1.0).astype(np.float32)
         has_3d = True
     else:
         iz3l, nz3 = 0, 1
         nx = ny = 1
         dx = dy = 1000.0
         ext3d = np.zeros((1, 1, 1), dtype=np.float32)
-        ssa3d = np.ones((1, 1, 1), dtype=np.float32)
-        apf3d = np.zeros((1, 1, 1), dtype=np.int32)
+        ssa3d = np.ones((1, 1, 1, 1), dtype=np.float32)
+        apf3d = np.zeros((1, 1, 1, 1), dtype=np.int32)
+        cf3d = np.ones((1, 1, 1, 1), dtype=np.float32)
         has_3d = False
 
     # scattering majorant per layer
@@ -241,6 +265,7 @@ def build_scene(atm, abs_coef, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
         ext3d=jnp.asarray(ext3d),
         ssa3d=jnp.asarray(ssa3d),
         apf3d=jnp.asarray(apf3d),
+        cf3d=jnp.asarray(cf3d),
         pt_mu=jnp.asarray(table.mu_sample),
         # rows [0, Npf) = working (possibly truncated) eval rows;
         # rows [Npf, 2 Npf) = TMS rows for first-order local estimates
@@ -257,5 +282,6 @@ def build_scene(atm, abs_coef, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
         nz=nz, ng=ng, nx=nx, ny=ny, nz3=nz3, iz3l=iz3l,
         nxs=sfc.nx, nys=sfc.ny, dx=float(dx), dy=float(dy),
         has_3d=has_3d, has_aer1d=bool(aer_1ds), ipa=bool(ipa),
+        ns3=int(ssa3d.shape[-1]),
     )
     return arrays, static

@@ -50,6 +50,11 @@ class Result:
     toa: float
     n_photon: float
     n_run: int
+    n_photon_effective: float = 0.0   # photons actually launched (can fall
+    #                                   short of n_photon*n_run when chunks
+    #                                   fail and are skipped — see
+    #                                   _single_run's fault handling; fields
+    #                                   are normalized by the effective count)
 
     def __getitem__(self, k):
         return self.data[k]
@@ -83,6 +88,17 @@ class Result:
                        n_run=int(f.attrs['n_run']))
 
 
+def _decomp_capable(cfg):
+    """Configs transport_decomp supports (see its NotImplementedError gates:
+    dist/decomp.py) — camera sensors, slant radiance and pathlength need the
+    whole scene on every device, which is the photon-parallel path."""
+    if cfg.sensor_type == 'camera' or cfg.pathlength:
+        return False
+    if cfg.target == 'radiance' and abs(cfg.sensor_zenith) > 1e-6:
+        return False
+    return True
+
+
 def _single_run(scene, static, cfg, n_photon, seed, chunk=4_000_000,
                 mesh=None, flux_w=None):
     """One independent MC pass, split into bounded device calls.
@@ -96,19 +112,33 @@ def _single_run(scene, static, cfg, n_photon, seed, chunk=4_000_000,
 
     ``mesh``: a jax.sharding.Mesh with ('x', 'b') axes routes the run to the
     dist layer — x-slab domain decomposition with photon migration when the
-    'x' axis is >1 (er3t_tpu.dist.decomp), pure photon parallelism otherwise
-    (er3t_tpu.dist.photon).
+    'x' axis is >1 and the config supports it (er3t_tpu.dist.decomp), pure
+    photon parallelism otherwise (er3t_tpu.dist.photon; scene replication is
+    exactly the reference's MPI semantics, mca_run.py:110-113 — every
+    process holds the full mca_atm_3d.bin).
+
+    Fault handling (the reference's process model loses one output file per
+    crashed run and run_check reports it, mcarats.py:471-483): each chunk is
+    retried once with a fresh RNG stream; a chunk that fails twice is
+    skipped and its photons recorded as a deficit.  Tallies stay unbiased —
+    the caller normalizes by the returned *actually launched* count.
     """
     from .mc_flight import run_transport_flight
     use_flight = cfg.target == 'radiance' or cfg.flux_engine == 'flight'
     if mesh is not None:
-        if dict(mesh.shape).get('x', 1) > 1:
+        if dict(mesh.shape).get('x', 1) > 1 and _decomp_capable(cfg):
             from ..dist.decomp import transport_decomp
 
             def runner(scene, static, cfg, n_c, seed):
                 return transport_decomp(scene, static, cfg, n_c, mesh,
                                         seed=seed, flux_w=flux_w)
         else:
+            if dict(mesh.shape).get('x', 1) > 1:
+                from ..util.logger import get_logger
+                get_logger().info(
+                    'solve: config (camera/slant/pathlength) is not '
+                    'decomposable; routing to photon-parallel replication '
+                    'over the full mesh')
             from ..dist.photon import transport_photon_parallel
 
             def runner(scene, static, cfg, n_c, seed):
@@ -123,19 +153,49 @@ def _single_run(scene, static, cfg, n_photon, seed, chunk=4_000_000,
         runner = mc.run_transport
     rad = flux = rad_pl = None
     n_total = 0
+    n_failed = 0
     remaining = int(n_photon)
     i = 0
     while remaining > 0:
         n_c = min(remaining, chunk)
-        tal = runner(scene, static, cfg, n_c, seed=seed + 7919 * i)
-        rad = np.asarray(tal.rad) if rad is None else rad + np.asarray(tal.rad)
-        flux = np.asarray(tal.flux) if flux is None else flux + np.asarray(tal.flux)
-        if cfg.pathlength:
-            rad_pl = np.asarray(tal.rad_plen) if rad_pl is None \
-                else rad_pl + np.asarray(tal.rad_plen)
-        n_total += int(tal.n_launched)
+        tal = None
+        for attempt in range(2):
+            try:
+                tal = runner(scene, static, cfg, n_c,
+                             seed=seed + 7919 * i + 104729 * attempt)
+                # materialize INSIDE the try: on tunneled chips the fault
+                # often surfaces at fetch time, not dispatch time
+                tal = tal._replace(rad=np.asarray(tal.rad),
+                                   flux=np.asarray(tal.flux),
+                                   rad_plen=np.asarray(tal.rad_plen),
+                                   n_launched=int(tal.n_launched))
+                break
+            except Exception as e:
+                from ..util.logger import get_logger
+                get_logger().warning(
+                    'solve: chunk %d (%.3g photons) attempt %d failed: %s',
+                    i, n_c, attempt, e)
+                tal = None
+        if tal is None:
+            n_failed += n_c
+        else:
+            rad = tal.rad if rad is None else rad + tal.rad
+            flux = tal.flux if flux is None else flux + tal.flux
+            if cfg.pathlength:
+                rad_pl = tal.rad_plen if rad_pl is None \
+                    else rad_pl + tal.rad_plen
+            n_total += tal.n_launched
         remaining -= n_c
         i += 1
+    if rad is None:
+        raise RuntimeError(
+            f'every chunk of the run failed ({n_failed:g} photons lost)')
+    if n_failed:
+        from ..util.logger import get_logger
+        get_logger().warning(
+            'solve: run completed with a deficit of %.3g photons '
+            '(%.3g launched); results are normalized by the launched count',
+            n_failed, n_total)
     return rad, flux, n_total, rad_pl
 
 
@@ -257,12 +317,20 @@ def solve(atm=None, abs_coef=None, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
         flux_w_arr, _ = out.spectral_factors(abs_coef, date=date,
                                              nz_out=static.nz + 1)
 
+    if qmc_launch and target != 'radiance' and flux_engine == 'marching':
+        import warnings
+        warnings.warn('qmc_launch only affects the flight kernel; '
+                      "flux_engine='marching' launches uniformly",
+                      stacklevel=2)
+
     per_run = []
+    n_eff = 0
     for r in range(n_run):
         if spectral == 'correlated':
             rad_t, flux_t, n_l, rad_pl = _single_run(
                 scene, static, cfg, n_photon, seed + 1000003 * r,
                 chunk=chunk, mesh=mesh, flux_w=flux_w_arr)
+            n_eff += n_l
             if target == 'radiance' and sensor_type == 'camera':
                 area = (static.nx * static.dx) * (static.ny * static.dy)
                 red = out.reduce_camera_radiance(
@@ -281,8 +349,11 @@ def solve(atm=None, abs_coef=None, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
                                            (rad_pl @ w) / np.maximum(
                                                rad_t @ w, 1e-30), 0.0)
         elif spectral == 'independent':
-            red = _independent_g_run(scene, static, cfg, atm, abs_coef, target,
-                                     n_photon, mu0, date, seed + 1000 * r)
+            red, n_l = _independent_g_run(scene, static, cfg, atm, abs_coef,
+                                          target, n_photon, mu0, date,
+                                          seed + 1000 * r, chunk=chunk,
+                                          mesh=mesh)
+            n_eff += n_l
         else:
             raise ValueError(spectral)
         per_run.append(red)
@@ -304,23 +375,28 @@ def solve(atm=None, abs_coef=None, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
                 data[k] = out.smooth_diffusion(arr, diffusion)
 
     return Result(target=target, data=data, std=std, toa=toa,
-                  n_photon=photons, n_run=n_run)
+                  n_photon=photons, n_run=n_run, n_photon_effective=n_eff)
 
 
 def _independent_g_run(scene, static, cfg, atm, abs_coef, target,
-                       n_photon, mu0, date, seed):
+                       n_photon, mu0, date, seed, chunk=4_000_000, mesh=None):
     """Reference-protocol spectral sampling: one pass per g-point with the
-    photon budget distributed by g weight."""
+    photon budget distributed by g weight.  ``mesh``/``chunk`` thread through
+    to _single_run so the reference-protocol mode scales out and bounds
+    device-call length exactly like the correlated mode."""
     import dataclasses as _dc
     ng = abs_coef.ng
     dist = distribute_photon(n_photon, abs_coef.weight)
     acc_rad = None
     acc_flux = None
+    n_total = 0
     for g in range(ng):
         scene_g = scene._replace(kabs=scene.kabs[:, g:g + 1])
         static_g = _dc.replace(static, ng=1)
         rad_t, flux_t, n_l, _ = _single_run(scene_g, static_g, cfg,
-                                            int(dist[g]), seed + g)
+                                            int(dist[g]), seed + g,
+                                            chunk=chunk, mesh=mesh)
+        n_total += n_l
         # scale per-g tallies to the common budget normalization
         wsc = 1.0 / max(n_l, 1)
         if acc_rad is None:
@@ -329,5 +405,5 @@ def _independent_g_run(scene, static, cfg, atm, abs_coef, target,
         acc_rad[..., g] = rad_t[..., 0] * wsc
         acc_flux[..., g] = flux_t[..., 0] * wsc
     if target == 'radiance':
-        return out.reduce_radiance(acc_rad, 1, abs_coef, mu0, date=date)
-    return out.reduce_flux(acc_flux, 1, abs_coef, mu0, date=date)
+        return out.reduce_radiance(acc_rad, 1, abs_coef, mu0, date=date), n_total
+    return out.reduce_flux(acc_flux, 1, abs_coef, mu0, date=date), n_total

@@ -26,9 +26,20 @@ __all__ = ['modis_03', 'modis_l1b', 'modis_l2', 'modis_35_l2', 'modis_04',
            'cal_sinusoidal_grid', 'sinusoidal_xy']
 
 # MODIS band center wavelengths [nm] for the L1B logic
-# (reference: er3t/util/modis.py:257-331)
+# (reference: er3t/util/modis.py:34-85): reflective solar bands 1-19 + 26,
+# emissive thermal bands 20-25 + 27-36
 BAND_WVL = {1: 650.0, 2: 860.0, 3: 470.0, 4: 555.0, 5: 1240.0, 6: 1640.0,
-            7: 2130.0, 26: 1380.0}
+            7: 2130.0, 8: 412.0, 9: 443.0, 10: 488.0, 11: 531.0, 12: 551.0,
+            13: 667.0, 14: 678.0, 15: 748.0, 16: 869.0, 17: 905.0, 18: 936.0,
+            19: 940.0, 20: 3750.0, 21: 3964.0, 22: 3964.0, 23: 4050.0,
+            24: 4465.0, 25: 4515.0, 26: 1380.0, 27: 6715.0, 28: 7235.0,
+            29: 8550.0, 30: 9730.0, 31: 11030.0, 32: 12020.0, 33: 13335.0,
+            34: 13635.0, 35: 13935.0, 36: 14235.0}
+QKM_BANDS = (1, 2)
+HKM_ONLY_BANDS = (3, 4, 5, 6, 7)
+RSB_1KM_BANDS = (8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 26)
+EMISSIVE_BANDS = (20, 21, 22, 23, 24, 25, 27, 28, 29, 30, 31, 32, 33, 34,
+                  35, 36)
 
 
 def _entry(data, name, units='N/A'):
@@ -75,50 +86,154 @@ class modis_03:
 
 
 class modis_l1b:
-    """MOD02/MYD02 L1B calibrated radiance for one band."""
+    """MOD02/MYD02 L1B calibrated radiance/reflectance for one or more bands.
+
+    Mirrors the reference reader's contract (er3t/util/modis.py:257-331 and
+    onward): resolution inferred from the file name (QKM/HKM/1KM) or passed
+    explicitly; at each resolution the coarser bands arrive through their
+    aggregated datasets (EV_250_Aggr500_RefSB, EV_250_Aggr1km_RefSB, ...);
+    the 1KM product additionally carries the narrow solar bands
+    (EV_1KM_RefSB) and the thermal emissive bands (EV_1KM_Emissive, radiance
+    only).  Outputs per band: calibrated radiance [W/m^2/nm/sr],
+    TOA reflectance (x cos(SZA); NaN for emissive bands), corrected counts,
+    and the uncertainty percentage uct_spc * exp(uct_index / uct_sca).
+    Band membership is read from the granule's Band_* datasets when present
+    (falling back to the standard ordering).
+    """
 
     ID = 'MODIS L1B'
 
-    _DSETS = {
-        'qkm': 'EV_250_RefSB', 'hkm': 'EV_500_RefSB', '1km': 'EV_1KM_RefSB',
+    # (dataset, uncertainty dataset, band-list dataset, default band order)
+    _GROUPS = {
+        'qkm': [('EV_250_RefSB', 'EV_250_RefSB_Uncert_Indexes',
+                 'Band_250M', QKM_BANDS)],
+        'hkm': [('EV_250_Aggr500_RefSB', 'EV_250_Aggr500_RefSB_Uncert_Indexes',
+                 'Band_250M', QKM_BANDS),
+                ('EV_500_RefSB', 'EV_500_RefSB_Uncert_Indexes',
+                 'Band_500M', HKM_ONLY_BANDS)],
+        '1km': [('EV_250_Aggr1km_RefSB', 'EV_250_Aggr1km_RefSB_Uncert_Indexes',
+                 'Band_250M', QKM_BANDS),
+                ('EV_500_Aggr1km_RefSB', 'EV_500_Aggr1km_RefSB_Uncert_Indexes',
+                 'Band_500M', HKM_ONLY_BANDS),
+                ('EV_1KM_RefSB', 'EV_1KM_RefSB_Uncert_Indexes',
+                 'Band_1KM_RefSB', RSB_1KM_BANDS),
+                ('EV_1KM_Emissive', 'EV_1KM_Emissive_Uncert_Indexes',
+                 'Band_1KM_Emissive', EMISSIVE_BANDS)],
     }
-    _BAND_INDEX = {'qkm': {1: 0, 2: 1},
-                   'hkm': {3: 0, 4: 1, 5: 2, 6: 3, 7: 4}}
+    _VALID = {'qkm': set(QKM_BANDS),
+              'hkm': set(QKM_BANDS) | set(HKM_ONLY_BANDS),
+              '1km': set(BAND_WVL)}
 
-    def __init__(self, fnames, f03=None, band=1, resolution='qkm',
-                 extent=None):
-        self.band = band
-        ds_name = self._DSETS[resolution]
-        idx = self._BAND_INDEX.get(resolution, {}).get(band, 0)
-        rads, refs = [], []
-        for fname in np.atleast_1d(fnames):
+    def __init__(self, fnames, f03=None, band=None, bands=None,
+                 resolution=None, extent=None):
+        fnames = list(np.atleast_1d(fnames))
+        if resolution is None:
+            low = fnames[0].lower()
+            for tag in ('qkm', 'hkm', '1km'):
+                if tag in low:
+                    resolution = tag
+                    break
+            else:
+                raise ValueError(
+                    'cannot infer resolution from file name; pass '
+                    "resolution='qkm'|'hkm'|'1km'")
+        if bands is None:
+            bands = [band] if band is not None else \
+                ([1, 2] if resolution == 'qkm' else [1, 2, 3, 4, 5, 6, 7])
+        bands = [int(b) for b in bands]
+        invalid = set(bands) - self._VALID[resolution]
+        if invalid:
+            raise KeyError(
+                f'band(s) {sorted(invalid)} not available in the '
+                f'{resolution.upper()} product; valid: '
+                f'{sorted(self._VALID[resolution])}')
+        self.bands = bands
+        self.band = bands[0]
+        self.resolution = resolution
+
+        per_band = {b: {'rad': [], 'ref': [], 'cnt': [], 'uct': []}
+                    for b in bands}
+        for fname in fnames:
             f = open_any(fname)
             try:
-                raw, attrs = f.var(ds_name)
-                raw = np.asarray(raw[idx], dtype=np.float64)
-                r_sc = np.atleast_1d(attrs.get('radiance_scales', [1.0]))[idx]
-                r_of = np.atleast_1d(attrs.get('radiance_offsets', [0.0]))[idx]
-                f_sc = np.atleast_1d(attrs.get('reflectance_scales', [1.0]))[idx]
-                f_of = np.atleast_1d(attrs.get('reflectance_offsets', [0.0]))[idx]
-                bad = raw > 32767
-                rad = (raw - r_of) * r_sc / 1000.0  # W/m2/nm/sr
-                ref = (raw - f_of) * f_sc
-                rad[bad] = np.nan
-                ref[bad] = np.nan
-                rads.append(rad)
-                refs.append(ref)
+                self._read_granule(f, resolution, bands, per_band)
             finally:
                 f.close()
+        cat = {b: {k: np.concatenate([a.ravel() for a in v])
+                   for k, v in d.items()} for b, d in per_band.items()}
+        stackf = lambda k: np.stack([cat[b][k] for b in bands])
         self.data = {
-            'rad': _entry(np.concatenate([r.ravel() for r in rads]),
-                          'Radiance', 'W/m^2/nm/sr'),
-            'ref': _entry(np.concatenate([r.ravel() for r in refs]),
-                          'Reflectance (TOA)'),
-            'wvl': _entry(BAND_WVL.get(band, np.nan), 'Band wavelength', 'nm'),
+            'rad': _entry(stackf('rad'), 'Radiance', 'W/m^2/nm/sr'),
+            'ref': _entry(stackf('ref'), 'Reflectance (x cos(SZA))'),
+            'cnt': _entry(stackf('cnt'), 'Corrected Counts'),
+            'uct': _entry(stackf('uct'), 'Uncertainty Percentage'),
+            'wvl': _entry(np.array([BAND_WVL[b] for b in bands]),
+                          'Band wavelength', 'nm'),
         }
+        if len(bands) == 1:
+            # single-band convenience: drop the leading band axis
+            for k in ('rad', 'ref', 'cnt', 'uct'):
+                self.data[k]['data'] = self.data[k]['data'][0]
+            self.data['wvl']['data'] = float(self.data['wvl']['data'][0])
         if f03 is not None:
             self.data['lon'] = f03.data['lon']
             self.data['lat'] = f03.data['lat']
+
+    def _read_granule(self, f, resolution, bands, per_band):
+        for ds_name, uct_name, band_ds, default_order in \
+                self._GROUPS[resolution]:
+            emissive = 'Emissive' in ds_name
+            try:
+                order, _ = f.var(band_ds)
+                order = [int(b) for b in np.atleast_1d(order)]
+            except Exception:
+                order = list(default_order)
+            wanted = [b for b in bands if b in order]
+            if not wanted:
+                continue
+            raw, attrs = f.var(ds_name)
+            raw = np.asarray(raw, dtype=np.float64)
+            try:
+                uct_raw, uattrs = f.var(uct_name)
+                uct_raw = np.asarray(uct_raw, dtype=np.float64)
+            except Exception:
+                uct_raw, uattrs = None, {}
+
+            def vec(key, default):
+                return np.atleast_1d(attrs.get(key, [default] * len(order)))
+
+            r_sc = vec('radiance_scales', 1.0)
+            r_of = vec('radiance_offsets', 0.0)
+            f_sc = vec('reflectance_scales', 1.0)
+            f_of = vec('reflectance_offsets', 0.0)
+            c_sc = vec('corrected_counts_scales', 1.0)
+            c_of = vec('corrected_counts_offsets', 0.0)
+            u_spc = np.atleast_1d(uattrs.get('specified_uncertainty',
+                                             [np.nan] * len(order)))
+            u_sca = np.atleast_1d(uattrs.get('scaling_factor',
+                                             [1.0] * len(order)))
+            for b in wanted:
+                i = order.index(b)
+                r = raw[i]
+                bad = r > 32767          # MODIS fill values start at 65500
+                rad = (r - r_of[i]) * r_sc[i] / 1000.0   # -> W/m^2/nm/sr
+                rad[bad] = np.nan
+                if emissive:
+                    ref = np.full_like(rad, np.nan)
+                    cnt = np.full_like(rad, np.nan)
+                else:
+                    ref = (r - f_of[i]) * f_sc[i]
+                    cnt = (r - c_of[i]) * c_sc[i]
+                    ref[bad] = np.nan
+                    cnt[bad] = np.nan
+                if uct_raw is not None:
+                    uct = u_spc[i] * np.exp(uct_raw[i] / u_sca[i])
+                else:
+                    uct = np.full_like(rad, np.nan)
+                per_band[b]['rad'].append(rad)
+                per_band[b]['ref'].append(ref)
+                per_band[b]['cnt'].append(cnt)
+                per_band[b]['uct'].append(uct)
 
 
 class modis_l2:

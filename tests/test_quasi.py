@@ -87,3 +87,47 @@ def test_quasi_matches_mc_single_scatter():
     ratio = img_q[sel].mean() / img_m[sel].mean()
     assert ratio == pytest.approx(1.0, abs=0.08)
     np.testing.assert_allclose(img_q[sel], img_m[sel], rtol=0.25)
+
+
+def test_quasi_slant_shadow_displacement():
+    """Oblique sun: the cloud shadow in the surface term falls at
+    z_cloud tan(SZA) downwind, not straight below the cloud (the sun path
+    is marched through the 3D deck along its true slant)."""
+    atm = atm_atmmod(np.concatenate([np.arange(0, 5.0, 0.5),
+                                     np.arange(5.0, 20.1, 1.0)]))
+    ab = abs_synthetic(650.0, atm, ng=1)
+    # 16-column domain, opaque cloud ribbon in x in [4, 8), dx = 0.5 km
+    cld = cld_gen_hom(nx=16, ny=4, dx=0.5, dy=0.5, nz=2, cot0=40.0,
+                      cer0=10.0, cloud_base=2.0, cloud_top=3.0)
+    cld.extinction[:4] = 0.0
+    cld.extinction[8:] = 0.0
+    # solar azimuth 270 deg -> photons travel toward +x; SZA 45
+    scn, st = build_scene(atm, ab, cld=cld, surface=0.3,
+                          solar_zenith_angle=45.0, solar_azimuth_angle=270.0)
+    # down-looking camera above the deck sees the surface
+    cfg = SolverConfig(sensor_type='camera', cam_npix=48, cam_zloc=19000.0,
+                       cam_the=180.0, cam_qmax=12.0)
+    img = np.asarray(quasi_radiance(scn, st, cfg, n_steps=400))[..., 0]
+    # profile across x (camera px maps to -x at the=180 via Ry(pi))
+    prof = np.nanmean(img, axis=1)
+    xpix = np.isfinite(prof)
+    assert xpix.sum() > 20
+    # darkest stretch of the surface = the shadow; cloud ribbon center is
+    # x = 3.0 km of the 8 km domain; at SZA 45 the shadow center shifts by
+    # z_mid tan(45) = 2.5 km downwind (+x), i.e. to x = 5.5 km
+    lx = st.nx * st.dx / 1000.0
+    # pixel -> ground x: equidistant fisheye around nadir, the=180 flips x
+    npx = cfg.cam_npix
+    ip = np.arange(npx)
+    ang = ((ip + 0.5) / npx * 2 - 1) * np.deg2rad(cfg.cam_qmax)
+    xg = ((0.5 * lx * 1000.0 - np.tan(ang) * cfg.cam_zloc)
+          % (lx * 1000.0)) / 1000.0
+    # the cloud ribbon spans x in [2, 4] km at z in [2, 3] km; its slant
+    # shadow falls on x in [4, 7] km (umbra [5, 6]); the band [4.5, 6.5] is
+    # NOT under the cloud, so a vertical-column sun path would leave it
+    # fully sunlit — with the slant march it must be dark
+    shadow = xpix & (xg > 4.5) & (xg < 6.5)
+    sunlit = xpix & ((xg > 7.2) | (xg < 1.6))
+    assert shadow.sum() > 5 and sunlit.sum() > 5
+    assert np.nanmean(prof[shadow]) < 0.3 * np.nanmean(prof[sunlit]), \
+        (np.nanmean(prof[shadow]), np.nanmean(prof[sunlit]))

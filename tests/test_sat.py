@@ -448,3 +448,88 @@ def test_ahi_reader_synthetic(tmp_path):
     from er3t_tpu.pre.cld import cld_sat
     cld = cld_sat(a, cth=2.5, cgt=1.0)
     assert cld.extinction.max() > 0
+
+
+# ---------------- MODIS L1B (QKM/HKM/1KM band logic) ----------------
+
+def _write_l1b_1km(fname):
+    """Synthetic MYD021KM-like granule (HDF5 stands in for HDF4; the reader
+    dispatches on content via ncio.open_any)."""
+    ny, nx = 8, 10
+    with h5py.File(fname, 'w') as f:
+        f.create_dataset('Band_250M', data=np.array([1, 2]))
+        f.create_dataset('Band_500M', data=np.array([3, 4, 5, 6, 7]))
+        f.create_dataset('Band_1KM_RefSB',
+                         data=np.array([8, 9, 10, 11, 12, 13, 14, 15, 16,
+                                        17, 18, 19, 26]))
+        f.create_dataset('Band_1KM_Emissive',
+                         data=np.array([20, 21, 22, 23, 24, 25, 27, 28, 29,
+                                        30, 31, 32, 33, 34, 35, 36]))
+
+        def ev(name, nb, base):
+            raw = np.full((nb, ny, nx), 1000.0) + \
+                np.arange(nb)[:, None, None] * 100.0
+            raw[:, 0, 0] = 65534.0          # a fill pixel
+            d = f.create_dataset(name, data=raw)
+            d.attrs['radiance_scales'] = np.full(nb, 0.01) * base
+            d.attrs['radiance_offsets'] = np.full(nb, 100.0)
+            d.attrs['reflectance_scales'] = np.full(nb, 1e-5) * base
+            d.attrs['reflectance_offsets'] = np.full(nb, 50.0)
+            d.attrs['corrected_counts_scales'] = np.full(nb, 1.0)
+            d.attrs['corrected_counts_offsets'] = np.full(nb, 0.0)
+            u = f.create_dataset(name + '_Uncert_Indexes',
+                                 data=np.full((nb, ny, nx), 5.0))
+            u.attrs['specified_uncertainty'] = np.full(nb, 1.5)
+            u.attrs['scaling_factor'] = np.full(nb, 7.0)
+
+        ev('EV_250_Aggr1km_RefSB', 2, 1.0)
+        ev('EV_500_Aggr1km_RefSB', 5, 1.0)
+        ev('EV_1KM_RefSB', 13, 1.0)
+        ev('EV_1KM_Emissive', 16, 2.0)
+    return fname
+
+
+def test_modis_l1b_1km_emissive(tmp_path):
+    """modis_l1b(band=31) returns radiance on a synthetic 1KM granule
+    (emissive bands: radiance only, reflectance NaN) with uncertainties."""
+    from er3t_tpu.sat.modis import modis_l1b
+    fn = _write_l1b_1km(str(tmp_path / 'MYD021KM.A2019226.h5'))
+    obj = modis_l1b([fn], band=31)
+    # band 31 is index 10 of the emissive group: raw 1000 + 10*100 = 2000
+    rad = obj.data['rad']['data'].reshape(8, 10)
+    assert rad[1, 1] == pytest.approx((2000.0 - 100.0) * 0.02 / 1000.0)
+    assert np.isnan(rad[0, 0])                    # fill pixel
+    assert np.isnan(obj.data['ref']['data']).all()   # emissive: no ref
+    uct = obj.data['uct']['data'].reshape(8, 10)
+    assert uct[1, 1] == pytest.approx(1.5 * np.exp(5.0 / 7.0))
+    assert obj.data['wvl']['data'] == 11030.0
+
+
+def test_modis_l1b_multiband_mixed(tmp_path):
+    """Multiple bands across aggregation groups stack in request order."""
+    from er3t_tpu.sat.modis import modis_l1b
+    fn = _write_l1b_1km(str(tmp_path / 'MYD021KM.A2019226.h5'))
+    obj = modis_l1b([fn], bands=[1, 6, 26, 31])
+    rad = obj.data['rad']['data']
+    assert rad.shape == (4, 80)
+    # band 1: group idx 0 raw 1000; band 6: 500-group idx 3 raw 1300;
+    # band 26: RefSB idx 12 raw 2200; band 31: emissive idx 10 raw 2000 x2
+    assert rad[0, 11] == pytest.approx((1000 - 100) * 0.01 / 1000)
+    assert rad[1, 11] == pytest.approx((1300 - 100) * 0.01 / 1000)
+    assert rad[2, 11] == pytest.approx((2200 - 100) * 0.01 / 1000)
+    assert rad[3, 11] == pytest.approx((2000 - 100) * 0.02 / 1000)
+    # reflective bands carry reflectance and corrected counts
+    assert np.isfinite(obj.data['ref']['data'][0, 11])
+    assert obj.data['cnt']['data'][0, 11] == pytest.approx(1000.0)
+    assert np.isnan(obj.data['ref']['data'][3, 11])
+    np.testing.assert_allclose(obj.data['wvl']['data'],
+                               [650.0, 1640.0, 1380.0, 11030.0])
+
+
+def test_modis_l1b_band_validation(tmp_path):
+    from er3t_tpu.sat.modis import modis_l1b
+    fn = _write_l1b_1km(str(tmp_path / 'MYD02QKM.A2019226.h5'))
+    with pytest.raises(KeyError):
+        modis_l1b([fn], band=31)      # emissive not in the QKM product
+    with pytest.raises(ValueError):
+        modis_l1b([str(tmp_path / 'MYD02XYZ.A2019226.h5')], band=1)
