@@ -9,17 +9,24 @@ The LES netCDF is not redistributable, so an equivalent broken-cloud field
 Metrics (the reference's accuracy band is Nrun-repeat per-pixel std,
 mcarats.py:134 / mca_out.py:394-397):
 
-* raw physical photons/s per chip;
+* raw physical photons/s per chip (median over chunks; see health guard);
 * g-samples/s (each photon carries all 16 correlated g-point weights —
   the reference launches one photon per g);
 * the measured correlated-vs-independent noise discount: per-photon pixel
   variance of the spectrally-integrated radiance under the correlated
-  protocol vs the reference's independent per-g protocol, measured from
-  repeat runs at matched budgets;
+  protocol vs the reference's independent per-g protocol, at matched
+  budgets;
 * noise-matched photons/s = photons/s x (var_indep / var_corr): the photon
   rate an independent-protocol solver would need to reach the same
   per-pixel std in the same wall time — the honest number against the
   6.7e6 ph/s baseline.
+
+Tunnel-health guard (the round-2 record was captured in a degraded window
+and understated the repo ~15x): a fixed-shape probe chunk is compared to a
+stored healthy reference rate; the headline is the MEDIAN over chunks with
+sub-50%-of-best chunks flagged; if the session is degraded the JSON carries
+``degraded: true`` and the noise phase (which would stamp a misleading
+headline) is skipped.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 The primary metric is noise-matched photons/s when the noise phase runs,
@@ -37,6 +44,11 @@ import numpy as np
 
 
 BASELINE_PHOTONS_PER_S = 6.7e6  # reference, 24 CPUs (BASELINE.md)
+# healthy single-chunk rate observed on a clean tunnel (2026-08-20 ablation:
+# 4.73 ms/step at 12.7k photons/step, B=2^17, tile16/t20); a session whose
+# best chunk stays below HEALTH_FRAC of this is marked degraded
+HEALTHY_REF_PHOTONS_PER_S = 2.2e6
+HEALTH_FRAC = 0.5
 
 
 def build():
@@ -62,13 +74,6 @@ def build():
     return ab, scene, st
 
 
-def _spectral_image(rad, ab, n):
-    """Per-pixel spectrally-integrated radiance (per launched photon)."""
-    from er3t_tpu.rtm.out import spectral_factors
-    factors, _ = spectral_factors(ab, nz_out=1)
-    return (np.asarray(rad) @ factors[0]) / max(n, 1)
-
-
 def _pixel_var_per_photon(images, n_per_run):
     """Mean-over-pixels per-photon variance from repeat images.
 
@@ -90,30 +95,43 @@ def main():
         pass
     from er3t_tpu.rtm.mc import SolverConfig
     from er3t_tpu.rtm.mc_flight import run_transport_flight
+    from er3t_tpu.rtm.out import spectral_factors
 
     ab, scene, st = build()
-    # production config: per-tile majorants + 20-deg truncation (TMS);
+    # production config: per-tile majorants + 20-deg truncation (TMS) +
+    # in-kernel spectral contraction of image deposits (rad_w);
     # n_scat_max=600 bounds pathological walks (negligible energy there)
     cfg = SolverConfig(target='radiance', batch=1 << 17, n_scat_max=600,
                        tile_size=16)
+    factors, _ = spectral_factors(ab, nz_out=1)
+    rad_w = factors[0]
+
+    def run(n, seed):
+        tal = run_transport_flight(scene, st, cfg, n, seed=seed, rad_w=rad_w)
+        img = np.asarray(tal.rad)[:, :, 0]     # forces completion (tunnel)
+        return img, int(tal.n_launched)
+
+    # ---------------- phase 0: warm-up + health probe ----------------
+    run(100_000, seed=0)
+    t0 = time.time()
+    _, n_h = run(2_000_000, seed=1)
+    probe_rate = n_h / (time.time() - t0)
 
     # ---------------- phase 1: throughput ----------------
-    tal = run_transport_flight(scene, st, cfg, 100_000, seed=0)   # warm-up
-    _ = np.asarray(tal.rad)
-
-    chunk = 4_000_000
+    chunk = 8_000_000
     target_seconds = 110.0
+    chunk_rates = []
     n_done, t_used, i = 0, 0.0, 0
     while t_used < target_seconds and i < 32:
         t0 = time.time()
         try:
-            tal = run_transport_flight(scene, st, cfg, chunk, seed=1 + i)
-            _ = np.asarray(tal.rad)   # forces completion on tunneled chips
+            _, n_l = run(chunk, seed=2 + i)
         except Exception as e:
             print(f'# chunk {i} failed: {e}', file=sys.stderr)
             break
         dt = time.time() - t0
-        n_done += int(tal.n_launched)
+        chunk_rates.append(n_l / dt)
+        n_done += n_l
         t_used += dt
         i += 1
         if dt < 25.0 and chunk < 32_000_000:
@@ -121,34 +139,35 @@ def main():
         elif dt > 90.0 and chunk > 4_000_000:
             chunk //= 2
 
-    if n_done == 0 or t_used == 0:
+    if not chunk_rates:
         print(json.dumps({'metric': 'noise_matched_photons_per_sec_per_chip',
-                          'value': 0.0, 'unit': '1/s', 'vs_baseline': 0.0}))
+                          'value': 0.0, 'unit': '1/s', 'vs_baseline': 0.0,
+                          'degraded': True, 'probe_rate': round(probe_rate, 1)}))
         return
-    photons_per_s = n_done / t_used
+    best = max(max(chunk_rates), probe_rate)
+    median_rate = float(np.median(chunk_rates))
+    slow_chunks = sum(1 for r in chunk_rates if r < 0.5 * best)
+    healthy = best >= HEALTH_FRAC * HEALTHY_REF_PHOTONS_PER_S
+    photons_per_s = median_rate
     g_samples_per_s = photons_per_s * ab.ng
 
     # ---------------- phase 2: noise protocol ----------------
     # per-pixel std from Nrun repeats (the reference's protocol) under the
     # correlated spectral sampling, and under the reference's independent
-    # per-g protocol at the same photon budget; guarded by a time budget
-    # (the tunneled chip can be slow — fall back to raw throughput)
+    # per-g protocol at the same photon budget.  Skipped on a degraded
+    # tunnel — a bad window must not stamp the headline number.
     var_c = var_i = None
-    try:
-        if t_used < 300.0:
+    if healthy and t_used < 300.0:
+        try:
             n_noise = 4_000_000
             imgs_c = []
             for k in range(3):
-                tal = run_transport_flight(scene, st, cfg, n_noise,
-                                           seed=101 + k)
-                imgs_c.append(_spectral_image(tal.rad, ab,
-                                              int(tal.n_launched)))
+                img, n_l = run(n_noise, seed=101 + k)
+                imgs_c.append(img / max(n_l, 1))
             var_c = _pixel_var_per_photon(imgs_c, n_noise)
 
             import dataclasses as _dc
             from er3t_tpu.rtm.solver import distribute_photon
-            from er3t_tpu.rtm.out import spectral_factors
-            factors, _ = spectral_factors(ab, nz_out=1)
             dist = distribute_photon(n_noise, ab.weight)
             imgs_i = []
             for k in range(2):
@@ -157,19 +176,28 @@ def main():
                     scene_g = scene._replace(kabs=scene.kabs[:, g:g + 1])
                     st_g = _dc.replace(st, ng=1)
                     tg = run_transport_flight(scene_g, st_g, cfg,
-                                              int(dist[g]), seed=301 + 16 * k + g)
+                                              int(dist[g]),
+                                              seed=301 + 16 * k + g)
                     acc += (np.asarray(tg.rad)[:, :, 0]
                             / max(int(tg.n_launched), 1)) * factors[0][g]
                 imgs_i.append(acc)
             var_i = _pixel_var_per_photon(imgs_i, n_noise)
-    except Exception as e:
-        print(f'# noise phase failed: {e}', file=sys.stderr)
+        except Exception as e:
+            print(f'# noise phase failed: {e}', file=sys.stderr)
 
     out = {
         'unit': '1/s',
         'photons_per_sec': round(photons_per_s, 1),
         'g_samples_per_sec': round(g_samples_per_s, 1),
+        'healthy': bool(healthy),
+        'probe_rate': round(probe_rate, 1),
+        'chunk_rates': [round(r, 1) for r in chunk_rates],
+        'median': round(median_rate, 1),
+        'best': round(best, 1),
+        'slow_chunks': slow_chunks,
     }
+    if not healthy:
+        out['degraded'] = True
     if var_c and var_i and var_c > 0:
         noise_ratio = var_i / var_c
         noise_matched = photons_per_s * noise_ratio

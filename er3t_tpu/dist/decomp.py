@@ -58,7 +58,8 @@ def _unpack(m: jnp.ndarray, c: FlightCarry) -> FlightCarry:
 
 def transport_decomp(scene, st, cfg: SolverConfig, n_photon: int, mesh,
                      seed: int = 0, k_super: int = 64, window: int | None = None,
-                     max_rounds: int | None = None, flux_w=None) -> Tallies:
+                     max_rounds: int | None = None, flux_w=None,
+                     rad_w=None) -> Tallies:
     """Run transport with the scene x-decomposed over mesh axis 'x'.
 
     ``scene``/``st`` describe the *global* scene; arrays are sharded here.
@@ -111,15 +112,18 @@ def transport_decomp(scene, st, cfg: SolverConfig, n_photon: int, mesh,
     scalar_flux = (not radiance and cfg.flux_per_column
                    and cfg.flux_kcross > 0 and flux_w is not None)
     fw = jnp.asarray(flux_w, _F) if flux_w is not None else None
+    scalar_rad = radiance and rad_w is not None
+    rw = jnp.asarray(rad_w, _F) if rad_w is not None else None
 
-    def worker(scene_loc, fw_loc):
+    def worker(scene_loc, fw_loc, rw_loc):
         me = jax.lax.axis_index('x')
         bi = jax.lax.axis_index('b') if n_b > 1 else 0
         x_off = (me * nx_loc * st.dx).astype(_F)
         key = jax.random.fold_in(jax.random.key(seed), me * 4096 + bi)
         body, _, carry0 = make_flight_kernel(
             scene_loc, st_loc, cfg, n_per, key, slab=slab, x_off=x_off,
-            flux_w=fw_loc if scalar_flux else None)
+            flux_w=fw_loc if scalar_flux else None,
+            rad_w=rw_loc if scalar_rad else None)
         lx_loc = nx_loc * st.dx
 
         def migrate_dir(c: FlightCarry, ring, target_fn):
@@ -148,7 +152,8 @@ def transport_decomp(scene, st, cfg: SolverConfig, n_photon: int, mesh,
         c, rounds = jax.lax.while_loop(cond, superstep, (carry0, jnp.zeros((), jnp.int32)))
         launched = jax.lax.psum(jax.lax.psum(c.launched, 'x'), 'b')
         steps = jax.lax.psum(jax.lax.psum(c.step, 'x'), 'b')
-        rad = jax.lax.psum(c.rad, 'b').reshape(nx_loc, st.ny, st.ng)
+        rad = jax.lax.psum(c.rad, 'b').reshape(nx_loc, st.ny,
+                                               1 if scalar_rad else st.ng)
         nlev = st.nz + 1
         if radiance:
             flux = jnp.zeros((1, 1, nlev, 3, st.ng), _F)
@@ -176,8 +181,11 @@ def transport_decomp(scene, st, cfg: SolverConfig, n_photon: int, mesh,
     flux_spec = P('x') if (not radiance and cfg.flux_per_column) else P()
     out_specs = Tallies(rad=P('x'), flux=flux_spec, n_launched=P(),
                         n_steps=P(), rad_plen=P())
-    fn = jax.jit(jax.shard_map(worker, mesh=mesh, in_specs=(in_specs, P()),
+    fn = jax.jit(jax.shard_map(worker, mesh=mesh,
+                               in_specs=(in_specs, P(), P()),
                                out_specs=out_specs, check_vma=False))
     if fw is None:
         fw = jnp.zeros((st.nz + 1, st.ng), _F)   # placeholder (unused)
-    return fn(scene, fw)
+    if rw is None:
+        rw = jnp.zeros((st.ng,), _F)             # placeholder (unused)
+    return fn(scene, fw, rw)

@@ -23,7 +23,7 @@ __all__ = ['transport_photon_parallel']
 
 def transport_photon_parallel(scene, st, cfg: SolverConfig, n_photon: int,
                               mesh, seed: int = 0, axes=('x', 'b'),
-                              flux_w=None):
+                              flux_w=None, rad_w=None):
     """Run the flight kernel data-parallel over every device of ``mesh``.
 
     Returns globally-reduced tallies (same structure as a single-device run).
@@ -34,16 +34,20 @@ def transport_photon_parallel(scene, st, cfg: SolverConfig, n_photon: int,
     use_fw = flux_w is not None
     fw = jnp.asarray(flux_w, jnp.float32) if use_fw \
         else jnp.zeros((st.nz + 1, st.ng), jnp.float32)
+    use_rw = rad_w is not None
+    rw = jnp.asarray(rad_w, jnp.float32) if use_rw \
+        else jnp.zeros((st.ng,), jnp.float32)
 
     seeds = jnp.arange(n_dev, dtype=jnp.uint32).reshape(
         [mesh.shape[a] for a in axis_names])
 
     @jax.jit
-    def launch(scene, seeds, fw):
-        def worker(scene, seed_me, fw_loc):
+    def launch(scene, seeds, fw, rw):
+        def worker(scene, seed_me, fw_loc, rw_loc):
             key = jax.random.fold_in(jax.random.key(seed), seed_me.reshape(())[()])
             tal = transport_flight(scene, st, cfg, n_per, key,
-                                   flux_w=fw_loc if use_fw else None)
+                                   flux_w=fw_loc if use_fw else None,
+                                   rad_w=rw_loc if use_rw else None)
             rad, flux, n = tal.rad, tal.flux, tal.n_launched
             n_s, rpl = tal.n_steps, tal.rad_plen
             for a in axis_names:
@@ -57,9 +61,9 @@ def transport_photon_parallel(scene, st, cfg: SolverConfig, n_photon: int,
 
         return jax.shard_map(
             worker, mesh=mesh,
-            in_specs=(P(), P(*axis_names), P()),
+            in_specs=(P(), P(*axis_names), P(), P()),
             out_specs=Tallies(rad=P(), flux=P(), n_launched=P(), n_steps=P(), rad_plen=P()),
             check_vma=False,
-        )(scene, seeds, fw)
+        )(scene, seeds, fw, rw)
 
-    return launch(scene, seeds, fw)
+    return launch(scene, seeds, fw, rw)

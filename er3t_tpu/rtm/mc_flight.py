@@ -101,7 +101,7 @@ class FlightCarry(NamedTuple):
 def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                        n_photon: int, key: jax.Array,
                        slab: SlabSpec | None = None, x_off=None,
-                       flux_w=None):
+                       flux_w=None, rad_w=None):
     """Build (body, cond, carry0) for the flight transport loop.
 
     With ``slab``: ``scene`` holds this device's x-shard; ``x_off`` is the
@@ -116,6 +116,14 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
     scatter on TPU than 128-lane packed rows (scripts/tpu_scatter_bench.py),
     exactly equal to the post-hoc contraction because the factor chain is
     linear in the per-g tallies.
+
+    ``rad_w``: optional (Ng,) spectral factors for radiance targets — the
+    same exactness argument: image deposits are contracted over g in-kernel
+    and scattered as SCALARS ((Ng,)-row image scatters measure ~2x the
+    scalar cost in-loop, scripts/tpu_gather_probe2.py).  The returned image
+    then has a singleton g axis holding the factor-contracted physical
+    tally.  Incompatible with ``cfg.pathlength`` (the pathlength ratio uses
+    the k-distribution weights, a different contraction).
     """
     radiance = cfg.target == 'radiance'
     assert radiance or not cfg.use_pallas, 'pallas core is radiance-only'
@@ -139,6 +147,10 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
     scalar_flux = per_col and kx > 0 and flux_w is not None
     if scalar_flux:
         flux_w = jnp.asarray(flux_w, _F)
+    scalar_rad = radiance and rad_w is not None
+    if scalar_rad:
+        assert not cfg.pathlength, 'rad_w is incompatible with pathlength'
+        rad_w = jnp.asarray(rad_w, _F).reshape(ng)
     if slab is None:
         nx_glob = st.nx
         x_off = jnp.zeros((), _F)
@@ -894,8 +906,15 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
 
             # pathlength at detection: path so far + vertical exit path to TOA
             pl_det = (plen + (z_top - z) / mu_s)[:, None]
+            if scalar_rad:
+                # in-kernel spectral contraction (see docstring): one scalar
+                # deposit per event instead of an (Ng,)-wide row
+                contrib = (contrib @ rad_w)[:, None]
             if nxr * nyr == 1:
-                rad = rad + jnp.sum(contrib, axis=0, keepdims=True)
+                if scalar_rad:
+                    rad = rad + jnp.sum(contrib[:, 0], keepdims=True)
+                else:
+                    rad = rad + jnp.sum(contrib, axis=0, keepdims=True)
                 if cfg.pathlength:
                     rad_pl = rad_pl + jnp.sum(contrib * pl_det, axis=0, keepdims=True)
             else:
@@ -910,7 +929,10 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                         + jnp.floor(yp / st.dy).astype(jnp.int32) % nyr
                 if 'deposit' in ablate:
                     pidx = jnp.zeros_like(pidx)
-                rad = rad.at[pidx].add(contrib)
+                if scalar_rad:
+                    rad = rad.at[pidx].add(contrib[:, 0])
+                else:
+                    rad = rad.at[pidx].add(contrib)
                 if cfg.pathlength:
                     rad_pl = rad_pl.at[pidx].add(contrib * pl_det)
 
@@ -959,14 +981,16 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         flux0 = jnp.zeros(nxf * nyf * nlev * 3, _F)
     else:
         flux0 = jnp.zeros((-(-(nxf * nyf * nlev * 3) // 8), 8 * ng), _F)
+    ng_r = 1 if scalar_rad else ng
     carry0 = FlightCarry(
         x=zB, y=zB, z=zB, ux=zB, uy=zB, uz=zB, wsc=zB,
         labs=jnp.zeros((B, ng + 1), _F), tau=zB,
         nscat=jnp.zeros(B, jnp.int32), alive=jnp.zeros(B, bool),
         ix0=jnp.zeros(B, jnp.int32), iy0=jnp.zeros(B, jnp.int32),
         launched=jnp.zeros((), jnp.int32), step=jnp.zeros((), jnp.int32),
-        rad=jnp.zeros((nxr * nyr, ng), _F), plen=zB,
-        rad_pl=jnp.zeros((n_pl, ng), _F),
+        rad=(jnp.zeros(nxr * nyr, _F) if scalar_rad
+             else jnp.zeros((nxr * nyr, ng), _F)), plen=zB,
+        rad_pl=jnp.zeros((n_pl, ng_r), _F),
         direct=jnp.zeros(B, bool),
         flux=flux0)
     return body, cond, carry0
@@ -974,9 +998,9 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
 
 def transport_flight(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                      n_photon: int, key: jax.Array,
-                     flux_w=None) -> Tallies:
+                     flux_w=None, rad_w=None) -> Tallies:
     body, cond, carry0 = make_flight_kernel(scene, st, cfg, n_photon, key,
-                                            flux_w=flux_w)
+                                            flux_w=flux_w, rad_w=rad_w)
     if cfg.max_events:
         max_steps = cfg.max_events
     else:
@@ -1008,14 +1032,15 @@ def transport_flight(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
             else jnp.ones((), _F)
         flux = flux.at[:, :, st.nz, 0, :].add(
             out.launched.astype(_F) * toa1 / (nxf * nyf))
-    return Tallies(rad=out.rad.reshape(nxr, nyr, st.ng),
+    ng_r = st.ng if out.rad.ndim > 1 else 1
+    return Tallies(rad=out.rad.reshape(nxr, nyr, ng_r),
                    flux=flux,
                    n_launched=out.launched, n_steps=out.step,
                    rad_plen=rad_plen)
 
 
 def run_transport_flight(scene, static, cfg, n_photon, seed=0, rng_impl='rbg',
-                         flux_w=None):
+                         flux_w=None, rad_w=None):
     """Jitted entry point.
 
     ``rng_impl='rbg'`` uses the TPU's fast RNG path (cheaper per deviate than
@@ -1023,7 +1048,9 @@ def run_transport_flight(scene, static, cfg, n_photon, seed=0, rng_impl='rbg',
     bitwise determinism.  ``flux_w``: (Nz+1, Ng) spectral factors enabling
     the in-kernel spectral contraction of per-column flux tallies (the
     returned Tallies.flux then has a singleton g axis holding the
-    factor-contracted physical tally).
+    factor-contracted physical tally).  ``rad_w``: (Ng,) spectral factors
+    enabling the same contraction for radiance images (Tallies.rad gets a
+    singleton g axis).
     """
     fn = jax.jit(transport_flight, static_argnums=(1, 2, 3))
     try:
@@ -1031,4 +1058,5 @@ def run_transport_flight(scene, static, cfg, n_photon, seed=0, rng_impl='rbg',
     except Exception:
         key = jax.random.key(seed)
     fw = None if flux_w is None else jnp.asarray(flux_w, _F)
-    return fn(scene, static, cfg, int(n_photon), key, fw)
+    rw = None if rad_w is None else jnp.asarray(rad_w, _F)
+    return fn(scene, static, cfg, int(n_photon), key, fw, rw)

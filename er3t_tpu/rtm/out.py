@@ -94,17 +94,21 @@ def reduce_flux(tally_flux: np.ndarray, n_launched: int, abs_coef, mu0: float,
 
 
 def reduce_radiance(tally_rad: np.ndarray, n_launched: int, abs_coef,
-                    mu0: float, date=None):
-    """Physical radiance (Nx, Ny) [W/m^2/nm/sr] from a raw radiance tally."""
+                    mu0: float, date=None, precontracted=False):
+    """Physical radiance (Nx, Ny) [W/m^2/nm/sr] from a raw radiance tally.
+
+    ``precontracted``: the tally's g axis is a singleton already contracted
+    with the spectral factors in-kernel (mc_flight ``rad_w``)."""
     nx, ny, ng = tally_rad.shape
     factors, toa = spectral_factors(abs_coef, date=date, nz_out=1)
     raw = tally_rad * (mu0 * nx * ny / max(n_launched, 1))
-    rad = raw @ factors[0]
+    rad = raw[..., 0] if precontracted else raw @ factors[0]
     return {'rad': rad, 'toa': toa}
 
 
 def reduce_camera_radiance(tally_rad, n_launched, abs_coef, mu0,
-                           domain_area_m2, qmax_deg, date=None):
+                           domain_area_m2, qmax_deg, date=None,
+                           precontracted=False):
     """Physical fisheye radiance [W/m^2/nm/sr] from a camera tally.
 
     The point-estimator tallies flux-at-sensor per direction bin; dividing
@@ -131,7 +135,7 @@ def reduce_camera_radiance(tally_rad, n_launched, abs_coef, mu0,
     d_omega = np.where(inside, d_omega, np.nan)
 
     raw = tally_rad * (mu0 * domain_area_m2 / max(n_launched, 1))
-    rad = (raw @ factors[0]) / d_omega
+    rad = (raw[..., 0] if precontracted else raw @ factors[0]) / d_omega
     return {'rad': rad, 'toa': toa, 'solid_angle': d_omega}
 
 

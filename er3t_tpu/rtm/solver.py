@@ -100,7 +100,7 @@ def _decomp_capable(cfg):
 
 
 def _single_run(scene, static, cfg, n_photon, seed, chunk=4_000_000,
-                mesh=None, flux_w=None):
+                mesh=None, flux_w=None, rad_w=None):
     """One independent MC pass, split into bounded device calls.
 
     Chunking keeps each jitted while-loop execution short (tens of seconds),
@@ -131,7 +131,8 @@ def _single_run(scene, static, cfg, n_photon, seed, chunk=4_000_000,
 
             def runner(scene, static, cfg, n_c, seed):
                 return transport_decomp(scene, static, cfg, n_c, mesh,
-                                        seed=seed, flux_w=flux_w)
+                                        seed=seed, flux_w=flux_w,
+                                        rad_w=rad_w)
         else:
             if dict(mesh.shape).get('x', 1) > 1:
                 from ..util.logger import get_logger
@@ -144,11 +145,11 @@ def _single_run(scene, static, cfg, n_photon, seed, chunk=4_000_000,
             def runner(scene, static, cfg, n_c, seed):
                 return transport_photon_parallel(scene, static, cfg, n_c,
                                                  mesh, seed=seed,
-                                                 flux_w=flux_w)
+                                                 flux_w=flux_w, rad_w=rad_w)
     elif use_flight:
         def runner(scene, static, cfg, n_c, seed):
             return run_transport_flight(scene, static, cfg, n_c, seed=seed,
-                                        flux_w=flux_w)
+                                        flux_w=flux_w, rad_w=rad_w)
     else:
         runner = mc.run_transport
     rad = flux = rad_pl = None
@@ -316,6 +317,14 @@ def solve(atm=None, abs_coef=None, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
             and flux_engine == 'flight'):
         flux_w_arr, _ = out.spectral_factors(abs_coef, date=date,
                                              nz_out=static.nz + 1)
+    # radiance image deposits are likewise contracted in-kernel (scalar
+    # scatters, half the cost of (Ng,)-row scatters) whenever the per-g
+    # image is not needed downstream (pathlength ratios use a different
+    # contraction)
+    rad_w_arr = None
+    if target == 'radiance' and not pathlength and spectral == 'correlated':
+        f, _ = out.spectral_factors(abs_coef, date=date, nz_out=1)
+        rad_w_arr = f[0]
 
     if qmc_launch and target != 'radiance' and flux_engine == 'marching':
         import warnings
@@ -329,16 +338,18 @@ def solve(atm=None, abs_coef=None, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
         if spectral == 'correlated':
             rad_t, flux_t, n_l, rad_pl = _single_run(
                 scene, static, cfg, n_photon, seed + 1000003 * r,
-                chunk=chunk, mesh=mesh, flux_w=flux_w_arr)
+                chunk=chunk, mesh=mesh, flux_w=flux_w_arr, rad_w=rad_w_arr)
             n_eff += n_l
             if target == 'radiance' and sensor_type == 'camera':
                 area = (static.nx * static.dx) * (static.ny * static.dy)
                 red = out.reduce_camera_radiance(
                     rad_t, n_l, abs_coef, mu0, domain_area_m2=area,
-                    qmax_deg=cfg.cam_qmax, date=date)
+                    qmax_deg=cfg.cam_qmax, date=date,
+                    precontracted=rad_w_arr is not None)
                 red.pop('solid_angle', None)
             elif target == 'radiance':
-                red = out.reduce_radiance(rad_t, n_l, abs_coef, mu0, date=date)
+                red = out.reduce_radiance(rad_t, n_l, abs_coef, mu0, date=date,
+                                          precontracted=rad_w_arr is not None)
             else:
                 red = out.reduce_flux(flux_t, n_l, abs_coef, mu0, date=date,
                                       precontracted=flux_w_arr is not None)

@@ -353,3 +353,32 @@ def test_stratified_launch(atm):
         var[qmc] = imgs.var(axis=0, ddof=1).mean()
     assert mean[True] == pytest.approx(mean[False], rel=0.02)   # unbiased
     assert var[True] < 0.2 * var[False]                         # stratified
+
+
+def test_scalar_radiance_contraction_exact(atm):
+    """In-kernel g-contraction of image deposits (rad_w) equals the post-hoc
+    factor contraction on the same RNG stream (linearity; the flux analog is
+    regression-tested in test_flux_kcross_clamp_equivalence)."""
+    from er3t_tpu.pre.cld import cld_gen_hem
+    from er3t_tpu.rtm.scene import build_scene
+    from er3t_tpu.rtm.mc import SolverConfig
+    from er3t_tpu.rtm.mc_flight import run_transport_flight
+    from er3t_tpu.rtm.out import spectral_factors
+    atm_f = atm_atmmod(np.concatenate([np.arange(0, 3.0, 0.5),
+                                       np.arange(3.0, 20.1, 1.0)]))
+    ab = abs_synthetic(650.0, atm_f, ng=4)
+    cld = cld_gen_hem(nx=16, ny=16, nz=4, dx=0.2, dy=0.2, dz=0.5,
+                      cloud_frac_tgt=0.3, radii=(0.4,), cot_scale=10.0,
+                      cloud_base=0.5, seed=3)
+    scn, st = build_scene(atm_f, ab, cld=cld, surface=0.1,
+                          solar_zenith_angle=30.0)
+    cfg = SolverConfig(target='radiance', batch=1 << 12, n_scat_max=200)
+    f, _ = spectral_factors(ab, nz_out=1)
+    t_g = run_transport_flight(scn, st, cfg, 30000, seed=9,
+                               rng_impl='threefry2x32')
+    t_s = run_transport_flight(scn, st, cfg, 30000, seed=9,
+                               rng_impl='threefry2x32', rad_w=f[0])
+    img_g = np.asarray(t_g.rad) @ f[0]
+    img_s = np.asarray(t_s.rad)[..., 0]
+    assert t_s.rad.shape[-1] == 1
+    np.testing.assert_allclose(img_s, img_g, rtol=2e-4, atol=1e-10)
