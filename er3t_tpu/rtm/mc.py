@@ -70,8 +70,15 @@ class SolverConfig:
     #                                     mca_inp.py:148-152)
     sensor_type: str = 'satellite'     # 'satellite' | 'camera' (ground-based
     #                                     upward fisheye, MCARaTS Rad_mrkind=1)
-    use_pallas: bool = False           # fused Pallas flight-core kernel
-    #                                     (TPU only; single-device path)
+    use_pallas: bool = False           # route the two per-event phase-LUT
+    #                                     lookups through the fused Pallas
+    #                                     MXU kernel (rtm/pallas_phase.py):
+    #                                     one-hot row-block selection +
+    #                                     128-lane shuffle, two-plane bf16
+    #                                     tables (~1e-5 value error).  Works
+    #                                     with every target/sensor and with
+    #                                     tile majorants (interpret mode off
+    #                                     TPU)
     cf_dtau: float = 0.0               # >0: collision forcing for flights
     #                                     with majorant OD below this
     #                                     threshold (MCARaTS Rad_cf_*,

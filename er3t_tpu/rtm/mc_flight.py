@@ -126,7 +126,6 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
     the k-distribution weights, a different contraction).
     """
     radiance = cfg.target == 'radiance'
-    assert radiance or not cfg.use_pallas, 'pallas core is radiance-only'
     B = cfg.batch
     nz, ng = st.nz, st.ng
     nx_loc = st.nx
@@ -176,7 +175,7 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
     # target Exp(1)-distributed again (memorylessness) and tau is resampled
     # every iteration.
     tile = cfg.tile_size
-    use_tiles = (tile > 0) and st.has_3d and not cfg.use_pallas
+    use_tiles = (tile > 0) and st.has_3d
     if use_tiles:
         ntx = -(-nx_loc // tile)
         nty = -(-st.ny // tile)
@@ -229,6 +228,13 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
     n_pf = scene.pt_mu.shape[0]
     pt_mu_flat = scene.pt_mu.reshape(-1)
     pt_p_flat = scene.pt_p.reshape(-1)
+    # Pallas phase-pair route: the two per-event LUT gathers become MXU
+    # one-hot selections + a 128-lane shuffle (er3t_tpu.rtm.pallas_phase);
+    # tables are packed once per kernel build
+    use_ppair = cfg.use_pallas
+    if use_ppair:
+        from .pallas_phase import pack_phase_tables
+        ph_packed, ph_meta = pack_phase_tables(scene.pt_p, scene.pt_mu)
 
     sin0 = jnp.sqrt(jnp.maximum(1.0 - scene.mu0 ** 2, 0.0))
     u0x = sin0 * jnp.cos(scene.phi0)
@@ -415,116 +421,105 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
 
         # ---------------- analytic flight through the majorant ----------------
         going_up = uz > 0.0
-        if cfg.use_pallas and slab is None:
-            from .pallas_flight import flight_core
-            s_star, l_col, coll_i, trav_p, _ = flight_core(
-                c.step, z, uz, tau, active, z_lev, sig_maj,
-                nz=nz, with_rng=False)
-            collided = coll_i > 0
-            oh_col = (jax.lax.broadcasted_iota(jnp.int32, (B, nz), 1)
-                      == l_col[:, None]).astype(_F)
-            sig_m = jnp.sum(oh_col * sig_maj[None, :], axis=1)
-            d_in = d_out = seg = None
+        uz_safe = jnp.where(jnp.abs(uz) < 1e-6, jnp.sign(uz + 1e-30) * 1e-6, uz)
+        inv_uz = 1.0 / uz_safe
+        if use_tiles:
+            # only the deck z-range [iz3l, iz3l+nz3) varies horizontally,
+            # so gather the majorant of the tile at the flight's *deck
+            # entry point* and (below) clamp only at tile-face crossings
+            # that occur while inside the deck — flights that stay in 1D
+            # layers run unclamped whatever tiles they overfly
+            zd_lo, zd_hi = z_lev[st.iz3l], z_lev[st.iz3l + st.nz3]
+            t1 = (zd_lo - z) * inv_uz
+            t2 = (zd_hi - z) * inv_uz
+            sd_in = jnp.maximum(jnp.minimum(t1, t2), 0.0)
+            sd_out = jnp.maximum(jnp.maximum(t1, t2), 0.0)
+            xe_u = x + ux * sd_in
+            ye_u = y + uy * sd_in
+            offx = xe_u - xe_u % lx_glob   # ray-frame unwrap offsets
+            offy = ye_u - ye_u % ly
+            ixm, iym = col_index(xe_u % lx_glob, ye_u % ly, ix0, iy0, nscat)
+            sig_col = maj_tab[(ixm // tile) * nty + (iym // tile)]  # (B,Nz)
         else:
-            uz_safe = jnp.where(jnp.abs(uz) < 1e-6, jnp.sign(uz + 1e-30) * 1e-6, uz)
-            inv_uz = 1.0 / uz_safe
-            if use_tiles:
-                # only the deck z-range [iz3l, iz3l+nz3) varies horizontally,
-                # so gather the majorant of the tile at the flight's *deck
-                # entry point* and (below) clamp only at tile-face crossings
-                # that occur while inside the deck — flights that stay in 1D
-                # layers run unclamped whatever tiles they overfly
-                zd_lo, zd_hi = z_lev[st.iz3l], z_lev[st.iz3l + st.nz3]
-                t1 = (zd_lo - z) * inv_uz
-                t2 = (zd_hi - z) * inv_uz
-                sd_in = jnp.maximum(jnp.minimum(t1, t2), 0.0)
-                sd_out = jnp.maximum(jnp.maximum(t1, t2), 0.0)
-                xe_u = x + ux * sd_in
-                ye_u = y + uy * sd_in
-                offx = xe_u - xe_u % lx_glob   # ray-frame unwrap offsets
-                offy = ye_u - ye_u % ly
-                ixm, iym = col_index(xe_u % lx_glob, ye_u % ly, ix0, iy0, nscat)
-                sig_col = maj_tab[(ixm // tile) * nty + (iym // tile)]  # (B,Nz)
-            else:
-                sig_col = sig_maj[None, :]
-            s_lo = (z_lev[None, :-1] - z[:, None]) * inv_uz[:, None]
-            s_hi = (z_lev[None, 1:] - z[:, None]) * inv_uz[:, None]
-            d_in = jnp.maximum(jnp.minimum(s_lo, s_hi), 0.0)
-            d_out = jnp.maximum(jnp.maximum(s_lo, s_hi), 0.0)
-            seg = jnp.maximum(d_out - d_in, 0.0)
+            sig_col = sig_maj[None, :]
+        s_lo = (z_lev[None, :-1] - z[:, None]) * inv_uz[:, None]
+        s_hi = (z_lev[None, 1:] - z[:, None]) * inv_uz[:, None]
+        d_in = jnp.maximum(jnp.minimum(s_lo, s_hi), 0.0)
+        d_out = jnp.maximum(jnp.maximum(s_lo, s_hi), 0.0)
+        seg = jnp.maximum(d_out - d_in, 0.0)
 
-            od = seg * sig_col
-            cum_up = jnp.cumsum(od, axis=1)
-            cum_dn = jnp.cumsum(od[:, ::-1], axis=1)[:, ::-1]
-            cum = jnp.where(going_up[:, None], cum_up, cum_dn)
-            total_od = jnp.where(going_up, cum_up[:, -1], cum_dn[:, 0])
-            s_exit = jnp.sum(seg, axis=1)
+        od = seg * sig_col
+        cum_up = jnp.cumsum(od, axis=1)
+        cum_dn = jnp.cumsum(od[:, ::-1], axis=1)[:, ::-1]
+        cum = jnp.where(going_up[:, None], cum_up, cum_dn)
+        total_od = jnp.where(going_up, cum_up[:, -1], cum_dn[:, 0])
+        s_exit = jnp.sum(seg, axis=1)
 
-            # clampability must be known BEFORE the forcing draw: a forced
-            # flight that later gets clamped (tile or slab face) would reach
-            # the face with the truncated-exponential survival probability
-            # instead of the true exp(-tau_face) — a systematic bias for all
-            # post-clamp transport.  Forcing is therefore restricted to
-            # flights that cannot clamp (exactness is preserved: unclampable
-            # thin upward flights either collide or escape to TOA).
-            clampable = jnp.zeros(B, bool)
-            if use_tiles and not st.ipa:
-                txp, typ = ixm // tile, iym // tile
-                tx_lo = x_off + (txp * tile) * st.dx + offx
-                tx_hi = x_off + jnp.minimum((txp + 1) * tile, nx_loc) * st.dx + offx
-                ty_lo = (typ * tile) * st.dy + offy
-                ty_hi = jnp.minimum((typ + 1) * tile, st.ny) * st.dy + offy
-                sfx = jnp.where(ux > 1e-7, (tx_hi - x) / ux,
-                                jnp.where(ux < -1e-7, (tx_lo - x) / ux, 3e38))
-                sfy = jnp.where(uy > 1e-7, (ty_hi - y) / uy,
-                                jnp.where(uy < -1e-7, (ty_lo - y) / uy, 3e38))
-                s_tile = jnp.maximum(jnp.minimum(sfx, sfy), 0.0)
-                can_clamp = active & (s_tile < sd_out)
-                if cfg.p3d_order > 0:
-                    can_clamp = can_clamp & (nscat < cfg.p3d_order)
-                clampable = clampable | can_clamp
-            if slab is not None:
-                s_face_pre = jnp.where(
-                    ux > 1e-7, (x_off + lx_loc - x) / ux,
-                    jnp.where(ux < -1e-7, (x_off - x) / ux, 1e30))
-                clampable = clampable | (jnp.maximum(s_face_pre, 0.0) < s_exit)
+        # clampability must be known BEFORE the forcing draw: a forced
+        # flight that later gets clamped (tile or slab face) would reach
+        # the face with the truncated-exponential survival probability
+        # instead of the true exp(-tau_face) — a systematic bias for all
+        # post-clamp transport.  Forcing is therefore restricted to
+        # flights that cannot clamp (exactness is preserved: unclampable
+        # thin upward flights either collide or escape to TOA).
+        clampable = jnp.zeros(B, bool)
+        if use_tiles and not st.ipa:
+            txp, typ = ixm // tile, iym // tile
+            tx_lo = x_off + (txp * tile) * st.dx + offx
+            tx_hi = x_off + jnp.minimum((txp + 1) * tile, nx_loc) * st.dx + offx
+            ty_lo = (typ * tile) * st.dy + offy
+            ty_hi = jnp.minimum((typ + 1) * tile, st.ny) * st.dy + offy
+            sfx = jnp.where(ux > 1e-7, (tx_hi - x) / ux,
+                            jnp.where(ux < -1e-7, (tx_lo - x) / ux, 3e38))
+            sfy = jnp.where(uy > 1e-7, (ty_hi - y) / uy,
+                            jnp.where(uy < -1e-7, (ty_lo - y) / uy, 3e38))
+            s_tile = jnp.maximum(jnp.minimum(sfx, sfy), 0.0)
+            can_clamp = active & (s_tile < sd_out)
+            if cfg.p3d_order > 0:
+                can_clamp = can_clamp & (nscat < cfg.p3d_order)
+            clampable = clampable | can_clamp
+        if slab is not None:
+            s_face_pre = jnp.where(
+                ux > 1e-7, (x_off + lx_loc - x) / ux,
+                jnp.where(ux < -1e-7, (x_off - x) / ux, 1e30))
+            clampable = clampable | (jnp.maximum(s_face_pre, 0.0) < s_exit)
 
-            if per_col and kx > 0:
-                # crossing-count clamp is a clamp too (see zclamp below)
-                n_below = jnp.sum((z_lev[None, :] < z[:, None]).astype(jnp.int32), axis=1)
-                n_le = jnp.sum((z_lev[None, :] <= z[:, None]).astype(jnp.int32), axis=1)
-                n_to_exit = jnp.where(going_up, nz + 1 - n_le, n_below)
-                clampable = clampable | (n_to_exit > kx)
+        if per_col and kx > 0:
+            # crossing-count clamp is a clamp too (see zclamp below)
+            n_below = jnp.sum((z_lev[None, :] < z[:, None]).astype(jnp.int32), axis=1)
+            n_le = jnp.sum((z_lev[None, :] <= z[:, None]).astype(jnp.int32), axis=1)
+            n_to_exit = jnp.where(going_up, nz + 1 - n_le, n_below)
+            clampable = clampable | (n_to_exit > kx)
 
-            if cfg.cf_dtau > 0:
-                # collision forcing (MCARaTS Rad_cf_*, Flx_cf_dtau): thin
-                # UPWARD flights collide from a truncated exponential with
-                # weight 1-exp(-OD).  Exact for radiance because the
-                # alternative outcome (TOA escape) contributes nothing; for
-                # flux targets the escape outcome's level crossings (and the
-                # TOA exit) ARE tallied, deterministically, with the escape
-                # probability exp(-OD) as weight (see the tally section).
-                # Downward flights keep their natural surface hit.
-                thin = active & going_up & (total_od < cfg.cf_dtau) & ~clampable
-                surv = -jnp.expm1(-total_od)
-                tau_f = -jnp.log1p(-u[:, 11] * surv)
-                tau_use = jnp.where(thin, tau_f, tau)
-            else:
-                thin = jnp.zeros(B, bool)
-                surv = jnp.ones(B, _F)
-                tau_use = tau
-            collided = active & (tau_use < total_od)
-            full = cum < tau_use[:, None]
-            n_full = jnp.sum(full.astype(jnp.int32), axis=1)
-            l_col = jnp.clip(jnp.where(going_up, n_full, nz - 1 - n_full), 0, nz - 1)
-            oh_col = (jax.lax.broadcasted_iota(jnp.int32, (B, nz), 1)
-                      == l_col[:, None]).astype(_F)
-            sig_m = jnp.sum(oh_col * sig_col, axis=1)
-            cum_before = jnp.sum(od * full.astype(_F), axis=1)
-            d_before = jnp.sum(seg * full.astype(_F), axis=1)
-            s_col = d_before + (tau_use - cum_before) / sig_m
-            s_star = jnp.where(collided, s_col, jnp.sum(seg, axis=1))
-            s_star = jnp.where(active, s_star, 0.0)
+        if cfg.cf_dtau > 0:
+            # collision forcing (MCARaTS Rad_cf_*, Flx_cf_dtau): thin
+            # UPWARD flights collide from a truncated exponential with
+            # weight 1-exp(-OD).  Exact for radiance because the
+            # alternative outcome (TOA escape) contributes nothing; for
+            # flux targets the escape outcome's level crossings (and the
+            # TOA exit) ARE tallied, deterministically, with the escape
+            # probability exp(-OD) as weight (see the tally section).
+            # Downward flights keep their natural surface hit.
+            thin = active & going_up & (total_od < cfg.cf_dtau) & ~clampable
+            surv = -jnp.expm1(-total_od)
+            tau_f = -jnp.log1p(-u[:, 11] * surv)
+            tau_use = jnp.where(thin, tau_f, tau)
+        else:
+            thin = jnp.zeros(B, bool)
+            surv = jnp.ones(B, _F)
+            tau_use = tau
+        collided = active & (tau_use < total_od)
+        full = cum < tau_use[:, None]
+        n_full = jnp.sum(full.astype(jnp.int32), axis=1)
+        l_col = jnp.clip(jnp.where(going_up, n_full, nz - 1 - n_full), 0, nz - 1)
+        oh_col = (jax.lax.broadcasted_iota(jnp.int32, (B, nz), 1)
+                  == l_col[:, None]).astype(_F)
+        sig_m = jnp.sum(oh_col * sig_col, axis=1)
+        cum_before = jnp.sum(od * full.astype(_F), axis=1)
+        d_before = jnp.sum(seg * full.astype(_F), axis=1)
+        s_col = d_before + (tau_use - cum_before) / sig_m
+        s_star = jnp.where(collided, s_col, jnp.sum(seg, axis=1))
+        s_star = jnp.where(active, s_star, 0.0)
 
         if slab is not None:
             # clamp flights at the slab x-faces: the voxel data beyond the
@@ -595,11 +590,8 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
             wsc = jnp.where(thin & collided, wsc * surv, wsc)
 
         # traveled path per layer, valid for collided/exit/clamped alike
-        if cfg.use_pallas and slab is None:
-            trav = trav_p
-        else:
-            trav = jnp.clip(jnp.minimum(d_out, s_star[:, None]) - d_in, 0.0, seg)
-            trav = jnp.where(active[:, None], trav, 0.0)
+        trav = jnp.clip(jnp.minimum(d_out, s_star[:, None]) - d_in, 0.0, seg)
+        trav = jnp.where(active[:, None], trav, 0.0)
 
         flux = c.flux
         term = active & ~collided & ~clamped & ~tclamp & ~zclamp
@@ -830,6 +822,36 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         apf = jnp.where(ch_cld, apf_c, jnp.where(ch_aer, apf_a, 0))
         ssa_ev = jnp.where(ch_cld, ssa_c, jnp.where(ch_aer, ssa_a, 1.0))
 
+        # scattering cosine toward the sensor (the phase-eval argument)
+        if camera:
+            cam_x = cfg.cam_xpos * lx_glob
+            cam_y = cfg.cam_ypos * ly
+            dxs = (cam_x - x + 0.5 * lx_glob) % lx_glob - 0.5 * lx_glob
+            dys = (cam_y - y + 0.5 * ly) % ly - 0.5 * ly
+            dzs = cam_z - z
+            r_cam = jnp.sqrt(dxs * dxs + dys * dys + dzs * dzs)
+            r_cam = jnp.maximum(r_cam, cfg.cam_rmin)
+            wsx_c, wsy_c, wsz_c = dxs / r_cam, dys / r_cam, dzs / r_cam
+            mu_sc = ux * wsx_c + uy * wsy_c + uz * wsz_c
+        else:
+            mu_sc = ux * sx + uy * sy + uz * mu_s
+
+        if use_ppair and 'phase' not in ablate:
+            # ONE fused Pallas call for both per-event LUT lookups (eval at
+            # mu_sc with TMS row selection + inverse-CDF sample at u[:, 5])
+            from .pallas_phase import phase_pair
+            row_e = apf + jnp.where(direct, n_pf, 0)
+            pe_pair, mu_pair = phase_pair(
+                apf, row_e, mu_sc, u[:, 5], ph_packed, ph_meta,
+                interpret=jax.default_backend() != 'tpu')
+        else:
+            pe_pair = mu_pair = None
+
+        def eval_sensor(mu):
+            if pe_pair is not None:
+                return jnp.where(apf == 0, 0.75 * (1.0 + mu * mu), pe_pair)
+            return phase_eval(apf, mu, first=direct)
+
         # ---------------- local estimates ----------------
         from .brdf import brdf_eval, brdf_sample_dir_weight
         if uniform_sfc:
@@ -846,17 +868,9 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         if radiance:
             if camera:
                 # point-estimator to a camera at (cam_x, cam_y, cam_z) with
-                # Z-Y-Z Euler pointing (MCARaTS Rad_phi/the/psi + Rad_zloc)
-                cam_x = cfg.cam_xpos * lx_glob
-                cam_y = cfg.cam_ypos * ly
-                dxs = (cam_x - x + 0.5 * lx_glob) % lx_glob - 0.5 * lx_glob
-                dys = (cam_y - y + 0.5 * ly) % ly - 0.5 * ly
-                dzs = cam_z - z
-                r_cam = jnp.sqrt(dxs * dxs + dys * dys + dzs * dzs)
-                r_cam = jnp.maximum(r_cam, cfg.cam_rmin)
-                wsx_c, wsy_c, wsz_c = dxs / r_cam, dys / r_cam, dzs / r_cam
-                mu_sc = ux * wsx_c + uy * wsy_c + uz * wsz_c
-                pval = phase_eval(apf, mu_sc, first=direct)
+                # Z-Y-Z Euler pointing (MCARaTS Rad_phi/the/psi + Rad_zloc);
+                # geometry and mu_sc precomputed above
+                pval = eval_sensor(mu_sc)
                 if st.has_3d:
                     tau3_below = jnp.where(
                         l_col < st.iz3l, 0.0,
@@ -894,8 +908,7 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                 cam_py = jnp.clip(((0.5 + 0.5 * pr * jnp.sin(phi_c)) * nyr)
                                   .astype(jnp.int32), 0, nyr - 1)
             else:
-                mu_sc = ux * sx + uy * sy + uz * mu_s
-                pval = phase_eval(apf, mu_sc, first=direct)
+                pval = eval_sensor(mu_sc)
                 t_sens = jnp.exp(labs[:, :ng] - tau_sens_abs
                                  - (tau_sens_sig + tau3_above)[:, None])
                 c_vol = (wsc * ssa_ev * pval / (4.0 * jnp.pi * mu_s))[:, None] * t_sens
@@ -937,7 +950,7 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                     rad_pl = rad_pl.at[pidx].add(contrib * pl_det)
 
         # ---------------- direction updates ----------------
-        mu_new = phase_sample(apf, u[:, 5])
+        mu_new = mu_pair if mu_pair is not None else phase_sample(apf, u[:, 5])
         psi = u[:, 6] * (2.0 * jnp.pi)
         ux_s, uy_s, uz_s = rotate(ux, uy, uz, mu_new, psi)
         bx, by, bz, bw = brdf_sample_dir_weight(

@@ -74,19 +74,6 @@ def kern_a(tab_ref, idx_ref, out_ref):
 def main():
     report('device', kind=str(jax.devices()[0].device_kind))
 
-    # dynamic-gather axis0 shape rules
-    mosaic_form('tala0_eq_2048', kern_a,
-                [('f', (2048, 128)), ('i', (2048, 128)), ('f', (2048, 128))],
-                2048)
-    mosaic_form('tala0_tab1024_idx2048', kern_a,
-                [('f', (1024, 128)), ('i', (2048, 128)), ('f', (2048, 128))],
-                1024)
-    mosaic_form('tala0_tab1280_idx1280', kern_a,
-                [('f', (1280, 128)), ('i', (1280, 128)), ('f', (1280, 128))],
-                1280)
-    mosaic_form('tala0_eq_8', kern_a,
-                [('f', (8, 128)), ('i', (8, 128)), ('f', (8, 128))],
-                8)
 
     # ---------------- phase-pair kernel candidates ----------------
     NPF2, NM = 40, 4096      # eval rows (working + TMS), eval bins
