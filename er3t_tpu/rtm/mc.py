@@ -123,6 +123,15 @@ class SolverConfig:
     cam_qmax: float = 89.0             # fisheye half-angle [deg]
     cam_npix: int = 64                 # image is (cam_npix, cam_npix)
     cam_rmin: float = 50.0             # point-estimator distance clamp [m]
+    cam_apsize: float = 0.0            # aperture radius [m] (MCARaTS
+    #                                     Rad_apsize, mca_inp.py:338): each
+    #                                     local estimate targets a uniform
+    #                                     sample point on the horizontal
+    #                                     aperture disk instead of the
+    #                                     pinhole — the image becomes the
+    #                                     aperture-averaged radiance
+    #                                     (unbiased Monte Carlo over the
+    #                                     aperture area); 0 = point aperture
     qmc_launch: bool = False           # flight kernel: stratified-jitter
     #                                     launch — photon index -> shuffled
     #                                     grid cell + in-cell jitter, so

@@ -337,7 +337,7 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
 
     def body(c: FlightCarry) -> FlightCarry:
         k_iter = jax.random.fold_in(key, c.step)
-        u = jax.random.uniform(k_iter, (B, 12), dtype=_F,
+        u = jax.random.uniform(k_iter, (B, 14), dtype=_F,
                                minval=1e-7, maxval=1.0 - 1e-7)
 
         if cfg.split_wmax > 0:
@@ -826,6 +826,15 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         if camera:
             cam_x = cfg.cam_xpos * lx_glob
             cam_y = cfg.cam_ypos * ly
+            if cfg.cam_apsize > 0:
+                # finite aperture (MCARaTS Rad_apsize): every local estimate
+                # targets a fresh uniform point on the horizontal aperture
+                # disk — the tally integrates radiance over the aperture
+                # area (unbiased; reduces speckle from nearby events too)
+                r_ap = cfg.cam_apsize * jnp.sqrt(u[:, 12])
+                ph_ap = (2.0 * jnp.pi) * u[:, 13]
+                cam_x = cam_x + r_ap * jnp.cos(ph_ap)
+                cam_y = cam_y + r_ap * jnp.sin(ph_ap)
             dxs = (cam_x - x + 0.5 * lx_glob) % lx_glob - 0.5 * lx_glob
             dys = (cam_y - y + 0.5 * ly) % ly - 0.5 * ly
             dzs = cam_z - z

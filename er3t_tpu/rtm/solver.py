@@ -228,8 +228,8 @@ def solve(atm=None, abs_coef=None, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
     Rad_the/phi (satellite)       sensor_zenith_angle/sensor_azimuth_angle
     Rad_mrkind=1 + Rad_*          sensor_type='camera', camera=dict(
                                   xpos, ypos, zloc, phi, the, psi, qmax,
-                                  npix) — fisheye; Rad_apsize: non-goal
-                                  (point aperture)
+                                  npix, apsize) — fisheye; apsize>0 =
+                                  finite aperture (disk-averaged radiance)
     Rad_mplen                     pathlength=True (adds 'plen' output)
     Rad_cf_* / Flx_cf_dtau        cf_dtau (collision forcing threshold)
     Atm_mcs_* (super-voxels)      tile_size (per-tile majorants)
@@ -275,7 +275,7 @@ def solve(atm=None, abs_coef=None, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
     if flux_per_column is None:
         flux_per_column = static.has_3d
     cam = dict(xpos=0.5, ypos=0.5, zloc=0.0, phi=0.0, the=0.0, psi=0.0,
-               qmax=89.0, npix=64)
+               qmax=89.0, npix=64, apsize=0.0)
     if camera:
         unknown = set(camera) - set(cam)
         if unknown:
@@ -303,6 +303,7 @@ def solve(atm=None, abs_coef=None, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
         cam_zloc=float(cam['zloc']), cam_phi=float(cam['phi']),
         cam_the=float(cam['the']), cam_psi=float(cam['psi']),
         cam_qmax=float(cam['qmax']), cam_npix=int(cam['npix']),
+        cam_apsize=float(cam['apsize']),
         qmc_launch=bool(qmc_launch),
     )
 

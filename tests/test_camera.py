@@ -77,3 +77,30 @@ def test_camera_fov_mask():
     assert img[0, 0] == 0 and img[-1, -1] == 0
     edge = np.concatenate([img[0], img[-1], img[:, 0], img[:, -1]])
     assert edge.mean() <= img[6:10, 6:10].mean() * 2.0 + 1e-12
+
+
+def test_finite_aperture():
+    """Rad_apsize counterpart: a finite aperture reproduces the pinhole
+    image in the mean (aperture << pixel footprint) and runs end-to-end."""
+    import numpy as np
+    from er3t_tpu.pre.atm import atm_atmmod
+    from er3t_tpu.pre.abs import abs_synthetic
+    from er3t_tpu.pre.cld import cld_gen_hom
+    from er3t_tpu.rtm.scene import build_scene
+    from er3t_tpu.rtm.mc import SolverConfig
+    from er3t_tpu.rtm.mc_flight import run_transport_flight
+    atm = atm_atmmod(np.concatenate([np.arange(0, 5.0, 0.5),
+                                     np.arange(5.0, 20.1, 1.0)]))
+    ab = abs_synthetic(650.0, atm, ng=2)
+    cld = cld_gen_hom(nx=8, ny=8, nz=2, dx=0.5, dy=0.5, cot0=5.0, cer0=10.0,
+                      cloud_base=1.0, cloud_top=2.0)
+    scn, st = build_scene(atm, ab, cld=cld, surface=0.1,
+                          solar_zenith_angle=30.0)
+    kw = dict(target='radiance', sensor_type='camera', cam_npix=8,
+              cam_qmax=60.0, batch=1 << 12, n_scat_max=150)
+    t0 = run_transport_flight(scn, st, SolverConfig(**kw), 80000, seed=3)
+    t1 = run_transport_flight(scn, st, SolverConfig(**kw, cam_apsize=50.0),
+                              80000, seed=3)
+    m0 = float(np.asarray(t0.rad).sum() / int(t0.n_launched))
+    m1 = float(np.asarray(t1.rad).sum() / int(t1.n_launched))
+    assert m1 == pytest.approx(m0, rel=0.05)
