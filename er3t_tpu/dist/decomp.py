@@ -44,7 +44,7 @@ def _pack(c: FlightCarry) -> jnp.ndarray:
     cols = [c.x, c.y, c.z, c.ux, c.uy, c.uz, c.wsc, c.tau,
             c.nscat.astype(_F), c.ix0.astype(_F), c.iy0.astype(_F),
             c.alive.astype(_F), c.plen, c.direct.astype(_F)]
-    return jnp.concatenate([jnp.stack(cols, axis=1), c.labs], axis=1)
+    return jnp.concatenate([jnp.stack(cols, axis=1), c.labs.T], axis=1)
 
 
 def _unpack(m: jnp.ndarray, c: FlightCarry) -> FlightCarry:
@@ -53,7 +53,7 @@ def _unpack(m: jnp.ndarray, c: FlightCarry) -> FlightCarry:
         wsc=m[:, 6], tau=m[:, 7], nscat=m[:, 8].astype(jnp.int32),
         ix0=m[:, 9].astype(jnp.int32), iy0=m[:, 10].astype(jnp.int32),
         alive=m[:, 11] > 0.5, plen=m[:, 12], direct=m[:, 13] > 0.5,
-        labs=m[:, 14:])
+        labs=m[:, 14:].T)
 
 
 def transport_decomp(scene, st, cfg: SolverConfig, n_photon: int, mesh,

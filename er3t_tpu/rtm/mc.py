@@ -144,6 +144,28 @@ class SolverConfig:
     #                                     radiance (slant drift to the first
     #                                     event re-randomizes the deposit
     #                                     pixel — BENCH_NOTES.md)
+    launch_coherent: bool = False      # flight kernel: stratified launch with
+    #                                     a LINEAR index->cell map (cell =
+    #                                     (idx+offset) mod ncell) instead of
+    #                                     qmc_launch's multiplicative shuffle:
+    #                                     the same +-1 per-block stratification
+    #                                     guarantee (any bijection per block
+    #                                     works), but consecutive lanes spawn
+    #                                     in adjacent columns, so the voxel/
+    #                                     majorant/surface gathers and image
+    #                                     deposits of neighboring lanes hit
+    #                                     neighboring HBM rows (measured 3.7x
+    #                                     cheaper gathers for clustered
+    #                                     indices, BENCH_NOTES round-3 cost
+    #                                     model).  Overrides qmc_launch's map.
+    sort_every: int = 0                # >0: every N steps re-sort the photon
+    #                                     lanes by their current voxel column
+    #                                     so spatial coherence (see
+    #                                     launch_coherent) survives photon
+    #                                     diffusion.  A lane permutation
+    #                                     re-pairs photons with future RNG
+    #                                     draws (different realization, same
+    #                                     distribution — unbiased)
     ablate: str = ''                   # profiling-only (scripts/tpu_profile_
     #                                     ablate.py): comma-joined subset of
     #                                     {'vox','phase','deposit'} replaces

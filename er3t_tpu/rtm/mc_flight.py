@@ -83,7 +83,10 @@ class FlightCarry(NamedTuple):
     uy: jnp.ndarray
     uz: jnp.ndarray
     wsc: jnp.ndarray
-    labs: jnp.ndarray       # (B, Ng+1): per-g log-transmission + best case
+    labs: jnp.ndarray       # (Ng+1, B): per-g log-transmission + best case.
+    #                         B lives in the LANE dim framework-wide: (d, B)
+    #                         arrays waste no lanes, while (B, d) pads d to
+    #                         128 (6-8x the HBM traffic at fusion boundaries)
     tau: jnp.ndarray
     nscat: jnp.ndarray
     alive: jnp.ndarray
@@ -281,7 +284,8 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
 
     ablate = set(cfg.ablate.split(',')) if cfg.ablate else set()
 
-    if cfg.qmc_launch:
+    strat_launch = cfg.qmc_launch or cfg.launch_coherent
+    if strat_launch:
         # Stratified-jitter launch: the photon's launch index maps bijectively
         # (multiplicative shuffle + random per-run offset) onto a grid cell of
         # the local domain, and the position is jittered uniformly inside the
@@ -300,6 +304,12 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         # iteration's deviate stream
         q_off = jax.random.randint(jax.random.fold_in(key, 0x3FFFFFFF), (),
                                    0, n_cell, dtype=jnp.int32).astype(jnp.uint32)
+        if cfg.launch_coherent:
+            # linear index->cell map: same per-block bijection (any bijection
+            # preserves the stratification guarantee), but consecutive lanes
+            # spawn in ADJACENT columns — their voxel/majorant/surface
+            # gathers and image deposits then hit neighboring HBM rows
+            q_stride = jnp.uint32(1)
 
     def phase_eval(apf, mu, first=None):
         """P(mu) local-estimate row; ``first`` (the photon has never
@@ -337,7 +347,9 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
 
     def body(c: FlightCarry) -> FlightCarry:
         k_iter = jax.random.fold_in(key, c.step)
-        u = jax.random.uniform(k_iter, (B, 14), dtype=_F,
+        # (14, B): the deviate index in the sublane dim, B in the lane dim
+        # (a (B, 14) array would pad 14 -> 128 lanes, 9x the HBM traffic)
+        u = jax.random.uniform(k_iter, (14, B), dtype=_F,
                                minval=1e-7, maxval=1.0 - 1e-7)
 
         if cfg.split_wmax > 0:
@@ -349,7 +361,7 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
             # preserved (unbiased); the two copies evolve independently from
             # fresh per-lane randomness, reducing the variance of
             # deep-scattering contributions per launched photon.
-            wmax_c = c.wsc * jnp.exp(c.labs[:, ng])
+            wmax_c = c.wsc * jnp.exp(c.labs[ng])
             want = c.alive & (wmax_c > cfg.split_wmax)
             dead0 = ~c.alive
             order = jnp.argsort(jnp.where(want, 0, 1).astype(jnp.int32),
@@ -373,7 +385,7 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                 x=_cp(c.x), y=_cp(c.y), z=_cp(c.z), ux=_cp(c.ux),
                 uy=_cp(c.uy), uz=_cp(c.uz),
                 wsc=jnp.where(do_cp, wsc_h[src], wsc_h),
-                labs=jnp.where(do_cp[:, None], c.labs[src], c.labs),
+                labs=jnp.where(do_cp[None, :], c.labs[:, src], c.labs),
                 tau=jnp.where(do_cp, -jnp.log(u_sp), c.tau),
                 nscat=_cp(c.nscat), ix0=_cp(c.ix0), iy0=_cp(c.iy0),
                 plen=_cp(c.plen),
@@ -386,25 +398,25 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         order = jnp.cumsum(dead.astype(jnp.int32))
         spawn = dead & (order <= quota)
         launched = c.launched + jnp.sum(spawn.astype(jnp.int32))
-        if cfg.qmc_launch:
+        if strat_launch:
             idx = (c.launched + order - 1).astype(jnp.uint32)
             # (idx % n + off) * stride % n: bijective per n_cell block;
             # stride*n < 2^32 so the uint32 product never wraps
             cell = ((idx + q_off) % q_ncell) * q_stride % q_ncell
             cx = (cell // jnp.uint32(st.ny)).astype(_F)
             cy = (cell % jnp.uint32(st.ny)).astype(_F)
-            x = jnp.where(spawn, x_off + (cx + u[:, 0]) * st.dx, c.x)
-            y = jnp.where(spawn, (cy + u[:, 1]) * st.dy, c.y)
+            x = jnp.where(spawn, x_off + (cx + u[0]) * st.dx, c.x)
+            y = jnp.where(spawn, (cy + u[1]) * st.dy, c.y)
         else:
-            x = jnp.where(spawn, x_off + u[:, 0] * lx_loc, c.x)
-            y = jnp.where(spawn, u[:, 1] * ly, c.y)
+            x = jnp.where(spawn, x_off + u[0] * lx_loc, c.x)
+            y = jnp.where(spawn, u[1] * ly, c.y)
         z = jnp.where(spawn, z_top, c.z)
         ux = jnp.where(spawn, u0x, c.ux)
         uy = jnp.where(spawn, u0y, c.uy)
         uz = jnp.where(spawn, u0z, c.uz)
         wsc = jnp.where(spawn, 1.0, c.wsc)
-        labs = jnp.where(spawn[:, None], 0.0, c.labs)
-        tau = jnp.where(spawn, -jnp.log(u[:, 2]), c.tau)
+        labs = jnp.where(spawn[None, :], 0.0, c.labs)
+        tau = jnp.where(spawn, -jnp.log(u[2]), c.tau)
         nscat = jnp.where(spawn, 0, c.nscat)
         alive = c.alive | spawn
         ix0 = jnp.where(spawn, local_ix(x), c.ix0)
@@ -439,21 +451,23 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
             offx = xe_u - xe_u % lx_glob   # ray-frame unwrap offsets
             offy = ye_u - ye_u % ly
             ixm, iym = col_index(xe_u % lx_glob, ye_u % ly, ix0, iy0, nscat)
-            sig_col = maj_tab[(ixm // tile) * nty + (iym // tile)]  # (B,Nz)
+            # row-gather (the fast gather form) then one transpose into the
+            # (Nz, B) frame the flight core runs in
+            sig_col = maj_tab[(ixm // tile) * nty + (iym // tile)].T
         else:
-            sig_col = sig_maj[None, :]
-        s_lo = (z_lev[None, :-1] - z[:, None]) * inv_uz[:, None]
-        s_hi = (z_lev[None, 1:] - z[:, None]) * inv_uz[:, None]
+            sig_col = sig_maj[:, None]
+        s_lo = (z_lev[:-1, None] - z[None, :]) * inv_uz[None, :]
+        s_hi = (z_lev[1:, None] - z[None, :]) * inv_uz[None, :]
         d_in = jnp.maximum(jnp.minimum(s_lo, s_hi), 0.0)
         d_out = jnp.maximum(jnp.maximum(s_lo, s_hi), 0.0)
         seg = jnp.maximum(d_out - d_in, 0.0)
 
         od = seg * sig_col
-        cum_up = jnp.cumsum(od, axis=1)
-        cum_dn = jnp.cumsum(od[:, ::-1], axis=1)[:, ::-1]
-        cum = jnp.where(going_up[:, None], cum_up, cum_dn)
-        total_od = jnp.where(going_up, cum_up[:, -1], cum_dn[:, 0])
-        s_exit = jnp.sum(seg, axis=1)
+        cum_up = jnp.cumsum(od, axis=0)
+        cum_dn = jnp.cumsum(od[::-1], axis=0)[::-1]
+        cum = jnp.where(going_up[None, :], cum_up, cum_dn)
+        total_od = jnp.where(going_up, cum_up[-1], cum_dn[0])
+        s_exit = jnp.sum(seg, axis=0)
 
         # clampability must be known BEFORE the forcing draw: a forced
         # flight that later gets clamped (tile or slab face) would reach
@@ -502,23 +516,23 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
             # Downward flights keep their natural surface hit.
             thin = active & going_up & (total_od < cfg.cf_dtau) & ~clampable
             surv = -jnp.expm1(-total_od)
-            tau_f = -jnp.log1p(-u[:, 11] * surv)
+            tau_f = -jnp.log1p(-u[11] * surv)
             tau_use = jnp.where(thin, tau_f, tau)
         else:
             thin = jnp.zeros(B, bool)
             surv = jnp.ones(B, _F)
             tau_use = tau
         collided = active & (tau_use < total_od)
-        full = cum < tau_use[:, None]
-        n_full = jnp.sum(full.astype(jnp.int32), axis=1)
+        full = cum < tau_use[None, :]
+        n_full = jnp.sum(full.astype(jnp.int32), axis=0)
         l_col = jnp.clip(jnp.where(going_up, n_full, nz - 1 - n_full), 0, nz - 1)
-        oh_col = (jax.lax.broadcasted_iota(jnp.int32, (B, nz), 1)
-                  == l_col[:, None]).astype(_F)
-        sig_m = jnp.sum(oh_col * sig_col, axis=1)
-        cum_before = jnp.sum(od * full.astype(_F), axis=1)
-        d_before = jnp.sum(seg * full.astype(_F), axis=1)
+        oh_col = (jax.lax.broadcasted_iota(jnp.int32, (nz, B), 0)
+                  == l_col[None, :]).astype(_F)
+        sig_m = jnp.sum(oh_col * sig_col, axis=0)
+        cum_before = jnp.sum(od * full.astype(_F), axis=0)
+        d_before = jnp.sum(seg * full.astype(_F), axis=0)
         s_col = d_before + (tau_use - cum_before) / sig_m
-        s_star = jnp.where(collided, s_col, jnp.sum(seg, axis=1))
+        s_star = jnp.where(collided, s_col, jnp.sum(seg, axis=0))
         s_star = jnp.where(active, s_star, 0.0)
 
         if slab is not None:
@@ -590,11 +604,17 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
             wsc = jnp.where(thin & collided, wsc * surv, wsc)
 
         # traveled path per layer, valid for collided/exit/clamped alike
-        trav = jnp.clip(jnp.minimum(d_out, s_star[:, None]) - d_in, 0.0, seg)
-        trav = jnp.where(active[:, None], trav, 0.0)
+        trav = jnp.clip(jnp.minimum(d_out, s_star[None, :]) - d_in, 0.0, seg)
+        trav = jnp.where(active[None, :], trav, 0.0)   # (Nz, B)
 
         flux = c.flux
         term = active & ~collided & ~clamped & ~tclamp & ~zclamp
+        if not radiance:
+            # flux tallies are scatter/MXU-bound; one transpose each into
+            # the (B, .) frame their contractions want is in the noise
+            trav_b = trav.T
+            seg_b = seg.T
+            labs_bg = labs[:ng].T
         if not radiance and kx > 0:
             # ---- compact per-crossing tally (kx rows/lane; zclamp above
             # guarantees every crossing of the flight fits the window) ----
@@ -610,10 +630,10 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
             mask_k = jnp.where(going_up[:, None, None],
                                l_iota3 < lev_c[:, :, None],
                                l_iota3 >= lev_c[:, :, None]).astype(_F)
-            a_k = jnp.dot((mask_k * trav[:, None, :]).reshape(B * kx, nz),
+            a_k = jnp.dot((mask_k * trav_b[:, None, :]).reshape(B * kx, nz),
                           scene.kabs,
                           preferred_element_type=_F).reshape(B, kx, ng)
-            w_k = (wsc[:, None, None] * jnp.exp(labs[:, None, :ng] - a_k)
+            w_k = (wsc[:, None, None] * jnp.exp(labs_bg[:, None, :] - a_k)
                    * tally_k[:, :, None].astype(_F))
             if cfg.cf_dtau > 0:
                 # deterministic escape branch of forced flights: every
@@ -621,12 +641,12 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                 # unclampable, so all fit the kx window) weighted by the
                 # escape probability exp(-OD), absorption over the FULL
                 # flight path (seg, not the collision-truncated trav)
-                a2_k = jnp.dot((mask_k * seg[:, None, :]).reshape(B * kx, nz),
+                a2_k = jnp.dot((mask_k * seg_b[:, None, :]).reshape(B * kx, nz),
                                scene.kabs,
                                preferred_element_type=_F).reshape(B, kx, ng)
                 esc_k = thin[:, None] & lev_ok & (s_k > 0.0)
                 w_k = w_k + ((wsc_pre * jnp.exp(-total_od))[:, None, None]
-                             * jnp.exp(labs[:, None, :ng] - a2_k)
+                             * jnp.exp(labs_bg[:, None, :] - a2_k)
                              * esc_k[:, :, None].astype(_F))
             xc = (x[:, None] + ux[:, None] * s_k) % lx_glob
             yc = (y[:, None] + uy[:, None] * s_k) % ly
@@ -663,24 +683,24 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                 | ((term & going_up)[:, None] & (lev_iota == nz))
             # gas absorption accumulated before each crossing: going up,
             # layers below the level are complete; going down, layers above
-            ee = trav[:, :, None] * scene.kabs[None, :, :]      # (B,Nz,Ng)
+            ee = trav_b[:, :, None] * scene.kabs[None, :, :]    # (B,Nz,Ng)
             pre = jnp.cumsum(ee, axis=1)
             a_up = jnp.concatenate([jnp.zeros((B, 1, ng), _F), pre], axis=1)
             a_dn = pre[:, -1:, :] - a_up
             a_x = jnp.where(going_up[:, None, None], a_up, a_dn)
             w_x = (wsc[:, None, None]
-                   * jnp.exp(labs[:, None, :ng] - a_x)
+                   * jnp.exp(labs_bg[:, None, :] - a_x)
                    * crossed[:, :, None].astype(_F))            # (B,Nlev,Ng)
             if cfg.cf_dtau > 0:
                 # deterministic escape branch of forced flights (see the
                 # compact path above): absorption over the FULL flight path
-                ee_f = seg[:, :, None] * scene.kabs[None, :, :]
+                ee_f = seg_b[:, :, None] * scene.kabs[None, :, :]
                 a_up_f = jnp.concatenate(
                     [jnp.zeros((B, 1, ng), _F), jnp.cumsum(ee_f, axis=1)],
                     axis=1)
                 esc = thin[:, None] & (s_cross > 0.0)
                 w_x = w_x + ((wsc_pre * jnp.exp(-total_od))[:, None, None]
-                             * jnp.exp(labs[:, None, :ng] - a_up_f)
+                             * jnp.exp(labs_bg[:, None, :] - a_up_f)
                              * esc[:, :, None].astype(_F))
             if nxf * nyf == 1:
                 chm = jnp.stack([~going_up & direct, ~going_up & ~direct,
@@ -744,18 +764,18 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
             # vertical path between the event and the camera altitude
             zc_lo = jnp.minimum(z, cam_z)
             zc_hi = jnp.maximum(z, cam_z)
-            sens_path = jnp.clip(jnp.minimum(zc_hi[:, None], z_lev[None, 1:])
-                                 - jnp.maximum(zc_lo[:, None], z_lev[None, :-1]),
-                                 0.0, dz_lay[None, :])
+            sens_path = jnp.clip(jnp.minimum(zc_hi[None, :], z_lev[1:, None])
+                                 - jnp.maximum(zc_lo[None, :], z_lev[:-1, None]),
+                                 0.0, dz_lay[:, None])
         else:
             sens_path = jnp.clip(
-                z_lev[None, 1:] - jnp.maximum(z[:, None], z_lev[None, :-1]),
-                0.0, dz_lay[None, :]) / mu_s
-        big = jnp.dot(jnp.concatenate([trav, sens_path], axis=1), kop,
-                      preferred_element_type=_F)
-        labs = labs - big[:, :ng + 1]
-        tau_sens_abs = big[:, ng + 1:2 * ng + 1]
-        tau_sens_sig = big[:, 2 * ng + 1]
+                z_lev[1:, None] - jnp.maximum(z[None, :], z_lev[:-1, None]),
+                0.0, dz_lay[:, None]) / mu_s
+        big = jnp.dot(kop.T, jnp.concatenate([trav, sens_path], axis=0),
+                      preferred_element_type=_F)        # (2Ng+2, B)
+        labs = labs - big[:ng + 1]
+        tau_sens_abs = big[ng + 1:2 * ng + 1]           # (Ng, B)
+        tau_sens_sig = big[2 * ng + 1]
 
         plen = plen + jnp.where(active, s_star, 0.0)
 
@@ -768,30 +788,31 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
             vrow = jnp.broadcast_to(vox[0], (B, 3 + 3 * ns3))
         else:
             vrow = vox[(ix * st.ny + iy) * st.nz3 + k3]
-        ext_c = jnp.where(in3, vrow[:, 0], 0.0)
+        vt = vrow.T                      # (3+3*Ns3, B): compact lane layout
+        ext_c = jnp.where(in3, vt[0], 0.0)
 
-        z_hi_col = jnp.sum(oh_col * z_lev[None, 1:], axis=1)
+        z_hi_col = jnp.sum(oh_col * z_lev[1:, None], axis=0)
         if st.has_3d:
             below3 = l_col < st.iz3l
             above3 = l_col >= st.iz3l + st.nz3
             tau3_above = jnp.where(
                 above3, 0.0,
-                jnp.where(below3, vrow[:, 1] + vrow[:, 0] * dz3[0],
-                          vrow[:, 1] + vrow[:, 0] * (z_hi_col - z))) / mu_s
+                jnp.where(below3, vt[1] + vt[0] * dz3[0],
+                          vt[1] + vt[0] * (z_hi_col - z))) / mu_s
         else:
             tau3_above = jnp.zeros(B, _F)
 
-        sig_r = jnp.sum(oh_col * scene.sig_ray[None, :], axis=1)
+        sig_r = jnp.sum(oh_col * scene.sig_ray[:, None], axis=0)
         # per-constituent aerosol extinctions at the collision layer (MXU
         # contraction; each 1D constituent keeps its own ssa/phase row,
         # reference add_mca_1d_atm, mca_atm.py:105-139)
-        sig_ac = jnp.dot(oh_col, scene.sig_aer,
-                         preferred_element_type=_F)        # (B, Na)
-        sig_a = jnp.sum(sig_ac, axis=1)
+        sig_ac = jnp.dot(scene.sig_aer.T, oh_col,
+                         preferred_element_type=_F)        # (Na, B)
+        sig_a = jnp.sum(sig_ac, axis=0)
         sig_real = sig_r + sig_a + ext_c
-        accept = collided & (u[:, 3] * sig_m < sig_real)
+        accept = collided & (u[3] * sig_m < sig_real)
 
-        pick = u[:, 4] * sig_real
+        pick = u[4] * sig_real
         ch_ray = accept & (pick < sig_r)
         ch_aer = accept & ~ch_ray & (pick < sig_r + sig_a)
         ch_cld = accept & ~ch_ray & ~ch_aer
@@ -803,22 +824,23 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                        / jnp.maximum(ext_c, 1e-30), 0.0, 1.0 - 1e-7)
         slot = jnp.zeros(B, jnp.int32)
         for s in range(ns3 - 1):
-            slot = slot + (u_c >= vrow[:, 3 + 3 * s]).astype(jnp.int32)
-        ssa_sel = vrow[:, 4]
-        apf_sel = vrow[:, 5]
+            slot = slot + (u_c >= vt[3 + 3 * s]).astype(jnp.int32)
+        ssa_sel = vt[4]
+        apf_sel = vt[5]
         for s in range(1, ns3):
             m = slot == s
-            ssa_sel = jnp.where(m, vrow[:, 4 + 3 * s], ssa_sel)
-            apf_sel = jnp.where(m, vrow[:, 5 + 3 * s], apf_sel)
+            ssa_sel = jnp.where(m, vt[4 + 3 * s], ssa_sel)
+            apf_sel = jnp.where(m, vt[5 + 3 * s], apf_sel)
         ssa_c = jnp.where(in3, ssa_sel, 1.0)
         apf_c = jnp.where(in3, apf_sel, 0.0).astype(jnp.int32)
-        c_aer = jnp.clip(jnp.sum((jnp.cumsum(sig_ac, axis=1)
-                                  < (pick - sig_r)[:, None]).astype(jnp.int32),
-                                 axis=1), 0, n_aer - 1)
-        oh_a = jax.nn.one_hot(c_aer, n_aer, dtype=_F)
-        apf_a = jnp.sum(oh_a * scene.aer_apf.astype(_F)[None, :],
-                        axis=1).astype(jnp.int32)
-        ssa_a = jnp.sum(oh_a * scene.aer_ssa[None, :], axis=1)
+        c_aer = jnp.clip(jnp.sum((jnp.cumsum(sig_ac, axis=0)
+                                  < (pick - sig_r)[None, :]).astype(jnp.int32),
+                                 axis=0), 0, n_aer - 1)
+        oh_a = (jax.lax.broadcasted_iota(jnp.int32, (n_aer, B), 0)
+                == c_aer[None, :]).astype(_F)
+        apf_a = jnp.sum(oh_a * scene.aer_apf.astype(_F)[:, None],
+                        axis=0).astype(jnp.int32)
+        ssa_a = jnp.sum(oh_a * scene.aer_ssa[:, None], axis=0)
         apf = jnp.where(ch_cld, apf_c, jnp.where(ch_aer, apf_a, 0))
         ssa_ev = jnp.where(ch_cld, ssa_c, jnp.where(ch_aer, ssa_a, 1.0))
 
@@ -831,8 +853,8 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                 # targets a fresh uniform point on the horizontal aperture
                 # disk — the tally integrates radiance over the aperture
                 # area (unbiased; reduces speckle from nearby events too)
-                r_ap = cfg.cam_apsize * jnp.sqrt(u[:, 12])
-                ph_ap = (2.0 * jnp.pi) * u[:, 13]
+                r_ap = cfg.cam_apsize * jnp.sqrt(u[12])
+                ph_ap = (2.0 * jnp.pi) * u[13]
                 cam_x = cam_x + r_ap * jnp.cos(ph_ap)
                 cam_y = cam_y + r_ap * jnp.sin(ph_ap)
             dxs = (cam_x - x + 0.5 * lx_glob) % lx_glob - 0.5 * lx_glob
@@ -851,7 +873,7 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
             from .pallas_phase import phase_pair
             row_e = apf + jnp.where(direct, n_pf, 0)
             pe_pair, mu_pair = phase_pair(
-                apf, row_e, mu_sc, u[:, 5], ph_packed, ph_meta,
+                apf, row_e, mu_sc, u[5], ph_packed, ph_meta,
                 interpret=jax.default_backend() != 'tpu')
         else:
             pe_pair = mu_pair = None
@@ -883,9 +905,9 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                 if st.has_3d:
                     tau3_below = jnp.where(
                         l_col < st.iz3l, 0.0,
-                        jnp.where(l_col >= st.iz3l + st.nz3, vrow[:, 2],
-                                  vrow[:, 2] - vrow[:, 1]
-                                  - vrow[:, 0] * (z_hi_col - z)))
+                        jnp.where(l_col >= st.iz3l + st.nz3, vt[2],
+                                  vt[2] - vt[1]
+                                  - vt[0] * (z_hi_col - z)))
                     tau3_below = jnp.clip(tau3_below, 0.0, None)
                     # camera above the deck top sees the deck portion ABOVE
                     # the event (tau3_above carries the satellite 1/mu_s)
@@ -895,10 +917,10 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                 else:
                     tau3_cam = jnp.zeros(B, _F)
                 slant = r_cam / jnp.maximum(jnp.abs(z - cam_z), 1.0)
-                t_sens = jnp.exp(labs[:, :ng] - slant[:, None] * tau_sens_abs
-                                 - (slant * (tau_sens_sig + tau3_cam))[:, None])
+                t_sens = jnp.exp(labs[:ng] - slant[None, :] * tau_sens_abs
+                                 - (slant * (tau_sens_sig + tau3_cam))[None, :])
                 c_vol = (wsc * ssa_ev * pval
-                         / (4.0 * jnp.pi * r_cam * r_cam))[:, None] * t_sens
+                         / (4.0 * jnp.pi * r_cam * r_cam))[None, :] * t_sens
                 # fisheye pixel (equidistant projection) in the rotated
                 # camera frame; out-of-FOV events contribute nothing
                 vx = (cam_rot[0, 0] * -wsx_c + cam_rot[0, 1] * -wsy_c
@@ -910,7 +932,7 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                 theta = jnp.arccos(jnp.clip(vz, -1.0, 1.0))
                 phi_c = jnp.arctan2(vy, vx)
                 in_fov = theta <= jnp.deg2rad(cfg.cam_qmax)
-                contrib = jnp.where((accept & in_fov)[:, None], c_vol, 0.0)
+                contrib = jnp.where((accept & in_fov)[None, :], c_vol, 0.0)
                 pr = jnp.clip(theta / jnp.deg2rad(cfg.cam_qmax), 0.0, 0.999)
                 cam_px = jnp.clip(((0.5 + 0.5 * pr * jnp.cos(phi_c)) * nxr)
                                   .astype(jnp.int32), 0, nxr - 1)
@@ -918,27 +940,28 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                                   .astype(jnp.int32), 0, nyr - 1)
             else:
                 pval = eval_sensor(mu_sc)
-                t_sens = jnp.exp(labs[:, :ng] - tau_sens_abs
-                                 - (tau_sens_sig + tau3_above)[:, None])
-                c_vol = (wsc * ssa_ev * pval / (4.0 * jnp.pi * mu_s))[:, None] * t_sens
+                t_sens = jnp.exp(labs[:ng] - tau_sens_abs
+                                 - (tau_sens_sig + tau3_above)[None, :])
+                c_vol = (wsc * ssa_ev * pval / (4.0 * jnp.pi * mu_s))[None, :] * t_sens
                 rho_sens = brdf_eval(jsfc_l, psfc_l, ux, uy, uz, sx, sy, mu_s)
-                c_sfc = (wsc * rho_sens)[:, None] * t_sens
-                contrib = jnp.where(accept[:, None], c_vol,
-                                    jnp.where(hit_sfc[:, None], c_sfc, 0.0))
+                c_sfc = (wsc * rho_sens)[None, :] * t_sens
+                contrib = jnp.where(accept[None, :], c_vol,
+                                    jnp.where(hit_sfc[None, :], c_sfc, 0.0))
 
             # pathlength at detection: path so far + vertical exit path to TOA
-            pl_det = (plen + (z_top - z) / mu_s)[:, None]
+            pl_det = plen + (z_top - z) / mu_s                  # (B,)
             if scalar_rad:
                 # in-kernel spectral contraction (see docstring): one scalar
                 # deposit per event instead of an (Ng,)-wide row
-                contrib = (contrib @ rad_w)[:, None]
+                contrib = jnp.einsum('g,gb->b', rad_w, contrib)
             if nxr * nyr == 1:
                 if scalar_rad:
-                    rad = rad + jnp.sum(contrib[:, 0], keepdims=True)
+                    rad = rad + jnp.sum(contrib, keepdims=True)
                 else:
-                    rad = rad + jnp.sum(contrib, axis=0, keepdims=True)
+                    rad = rad + jnp.sum(contrib, axis=1, keepdims=True).T
                 if cfg.pathlength:
-                    rad_pl = rad_pl + jnp.sum(contrib * pl_det, axis=0, keepdims=True)
+                    rad_pl = rad_pl + jnp.sum(contrib * pl_det[None, :],
+                                              axis=1, keepdims=True).T
             else:
                 if camera:
                     pidx = cam_px * nyr + cam_py
@@ -950,20 +973,23 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                     pidx = local_ix(xp) * nyr \
                         + jnp.floor(yp / st.dy).astype(jnp.int32) % nyr
                 if 'deposit' in ablate:
-                    pidx = jnp.zeros_like(pidx)
-                if scalar_rad:
-                    rad = rad.at[pidx].add(contrib[:, 0])
-                else:
+                    # profiling: drop the image scatter entirely (a pidx=0
+                    # stand-in measures a CONTENDED scatter instead — slower
+                    # than the real thing); keep contrib live via a reduce
+                    rad = rad + jnp.sum(contrib).astype(rad.dtype)
+                elif scalar_rad:
                     rad = rad.at[pidx].add(contrib)
+                else:
+                    rad = rad.at[pidx].add(contrib.T)
                 if cfg.pathlength:
-                    rad_pl = rad_pl.at[pidx].add(contrib * pl_det)
+                    rad_pl = rad_pl.at[pidx].add((contrib * pl_det[None, :]).T)
 
         # ---------------- direction updates ----------------
-        mu_new = mu_pair if mu_pair is not None else phase_sample(apf, u[:, 5])
-        psi = u[:, 6] * (2.0 * jnp.pi)
+        mu_new = mu_pair if mu_pair is not None else phase_sample(apf, u[5])
+        psi = u[6] * (2.0 * jnp.pi)
         ux_s, uy_s, uz_s = rotate(ux, uy, uz, mu_new, psi)
         bx, by, bz, bw = brdf_sample_dir_weight(
-            jsfc_l, psfc_l, ux, uy, uz, u[:, 5], u[:, 6], u[:, 9], u[:, 10])
+            jsfc_l, psfc_l, ux, uy, uz, u[5], u[6], u[9], u[10])
         ux = jnp.where(accept, ux_s, jnp.where(hit_sfc, bx, ux))
         uy = jnp.where(accept, uy_s, jnp.where(hit_sfc, by, uy))
         uz = jnp.where(accept, uz_s, jnp.where(hit_sfc, bz, uz))
@@ -975,14 +1001,14 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
             iy0 = jnp.where(low, jnp.floor(y / st.dy).astype(jnp.int32) % st.ny, iy0)
         nscat = nscat + accept.astype(jnp.int32)
         direct = direct & ~accept & ~hit_sfc
-        tau = jnp.where(active, -jnp.log(u[:, 7]), tau)
+        tau = jnp.where(active, -jnp.log(u[7]), tau)
 
         # ---------------- termination / roulette ----------------
         alive = alive & ~exit_toa & (nscat < cfg.n_scat_max) & (wsc > 0.0)
-        wmax = wsc * jnp.exp(labs[:, ng])
+        wmax = wsc * jnp.exp(labs[ng])
         need_rr = active & (wmax < cfg.rr_wmin)
         p_surv = jnp.clip(wmax / cfg.rr_wmin, 0.0, 1.0)
-        die = need_rr & (u[:, 8] > p_surv)
+        die = need_rr & (u[8] > p_surv)
         wsc = jnp.where(need_rr & ~die, wsc / jnp.maximum(p_surv, 1e-12), wsc)
         alive = alive & ~die
 
@@ -1006,7 +1032,7 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
     ng_r = 1 if scalar_rad else ng
     carry0 = FlightCarry(
         x=zB, y=zB, z=zB, ux=zB, uy=zB, uz=zB, wsc=zB,
-        labs=jnp.zeros((B, ng + 1), _F), tau=zB,
+        labs=jnp.zeros((ng + 1, B), _F), tau=zB,
         nscat=jnp.zeros(B, jnp.int32), alive=jnp.zeros(B, bool),
         ix0=jnp.zeros(B, jnp.int32), iy0=jnp.zeros(B, jnp.int32),
         launched=jnp.zeros((), jnp.int32), step=jnp.zeros((), jnp.int32),
@@ -1016,6 +1042,38 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         direct=jnp.zeros(B, bool),
         flux=flux0)
     return body, cond, carry0
+
+
+def _sort_lanes(c: FlightCarry, st: SceneStatic) -> FlightCarry:
+    """Re-sort photon lanes by their current voxel column (see
+    SolverConfig.sort_every).
+
+    Adjacent lanes then gather adjacent voxel/majorant/surface rows and
+    deposit into adjacent image pixels — clustered HBM indices measured
+    ~3.7x cheaper than uniform-random ones (BENCH_NOTES round-3 cost
+    model).  Dead lanes sort to the END: the respawn block assigns them
+    sequential stratified cells (launch_coherent), so the new photons are
+    born coherent too.  Lane state is packed into one (B, F) matrix so the
+    permutation costs ONE row-gather instead of ~20 lane-array gathers.
+    """
+    _f = c.x.dtype
+    key = jnp.where(
+        c.alive,
+        jnp.clip(jnp.floor(c.x / st.dx).astype(jnp.int32), 0, st.nx - 1)
+        * st.ny + jnp.floor(c.y / st.dy).astype(jnp.int32) % st.ny,
+        jnp.int32(st.nx * st.ny))
+    perm = jnp.argsort(key)
+    m = jnp.concatenate(
+        [jnp.stack([c.x, c.y, c.z, c.ux, c.uy, c.uz, c.wsc, c.tau, c.plen,
+                    c.nscat.astype(_f), c.ix0.astype(_f), c.iy0.astype(_f),
+                    c.alive.astype(_f), c.direct.astype(_f)], axis=1),
+         c.labs.T], axis=1)[perm]
+    return c._replace(
+        x=m[:, 0], y=m[:, 1], z=m[:, 2], ux=m[:, 3], uy=m[:, 4], uz=m[:, 5],
+        wsc=m[:, 6], tau=m[:, 7], plen=m[:, 8],
+        nscat=m[:, 9].astype(jnp.int32), ix0=m[:, 10].astype(jnp.int32),
+        iy0=m[:, 11].astype(jnp.int32), alive=m[:, 12] > 0.5,
+        direct=m[:, 13] > 0.5, labs=m[:, 14:].T)
 
 
 def transport_flight(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
@@ -1031,7 +1089,17 @@ def transport_flight(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
     def cond_capped(c):
         return cond(c) & (c.step < max_steps)
 
-    out = jax.lax.while_loop(cond_capped, body, carry0)
+    if cfg.sort_every > 0:
+        # sort + a fixed block of steps per outer trip; the while cond is
+        # checked at block granularity (a <=sort_every-1 step overshoot in
+        # the drain tail — harmless, tallies ignore dead lanes)
+        def outer(c):
+            c = _sort_lanes(c, st)
+            return jax.lax.fori_loop(0, cfg.sort_every,
+                                     lambda i, cc: body(cc), c)
+        out = jax.lax.while_loop(cond_capped, outer, carry0)
+    else:
+        out = jax.lax.while_loop(cond_capped, body, carry0)
     if cfg.sensor_type == 'camera':
         nxr = nyr = cfg.cam_npix
     else:

@@ -97,10 +97,12 @@ def _kernel(apf_ref, row_e_ref, mu_ref, u_ref,
         oh = (cols == k2).astype(_BF)
         v = (jnp.dot(oh, hi_ref[:], preferred_element_type=_F)
              + jnp.dot(oh, lo_ref[:], preferred_element_type=_F))
-        # in-row lane select as a masked sum (no dynamic-gather op needed)
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (lb, 128), 1)
-        sel = (lanes == (lo_bits & 127).reshape(lb, 1)).astype(_F)
-        return jnp.sum(v * sel, axis=1)
+        # in-row lane select: take_along_axis(axis=1) with full-shape indices
+        # is the dynamic-gather form Mosaic lowers to the in-register
+        # 128-lane shuffle (a masked 128-wide sum measured ~2x the VPU work);
+        # every output lane selects the same source lane, column 0 is kept
+        idx = jnp.broadcast_to((lo_bits & 127).reshape(lb, 1), (lb, 128))
+        return jnp.take_along_axis(v, idx, axis=1)[:, 0]
 
     pe_out_ref[:] = lookup(k_e, ib, pe_hi_ref, pe_lo_ref, ke)
     mu_out_ref[:] = lookup(k_s, iu, ps_hi_ref, ps_lo_ref, ks)
@@ -109,7 +111,7 @@ def _kernel(apf_ref, row_e_ref, mu_ref, u_ref,
 @functools.partial(jax.jit,
                    static_argnames=('meta_t', 'lb', 'interpret'))
 def _phase_pair(apf, row_e, mu_sc, u, packed: PackedPhase, *, meta_t,
-                lb=2048, interpret=False):
+                lb=8192, interpret=False):
     meta = dict(meta_t)
     B = apf.shape[0]
     ke = packed.pe_hi.shape[0]
@@ -135,7 +137,7 @@ def _phase_pair(apf, row_e, mu_sc, u, packed: PackedPhase, *, meta_t,
 
 
 def phase_pair(apf, row_e, mu_sc, u, packed: PackedPhase, meta,
-               lb=2048, interpret=False):
+               lb=8192, interpret=False):
     """Fused (P_eval, mu_new) lookups.
 
     ``apf``: (B,) int32 sample-table rows; ``row_e``: (B,) int32 eval-table
@@ -145,5 +147,7 @@ def phase_pair(apf, row_e, mu_sc, u, packed: PackedPhase, meta,
     """
     meta_t = tuple(sorted(meta.items()))
     lb = min(int(lb), int(apf.shape[0]))
+    while apf.shape[0] % lb:      # grid = B // lb must cover every lane
+        lb //= 2
     return _phase_pair(apf, row_e, mu_sc, u, packed, meta_t=meta_t, lb=lb,
                        interpret=interpret)
