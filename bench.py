@@ -44,10 +44,11 @@ import numpy as np
 
 
 BASELINE_PHOTONS_PER_S = 6.7e6  # reference, 24 CPUs (BASELINE.md)
-# healthy single-chunk rate observed on a clean tunnel (2026-08-20 ablation:
-# 4.73 ms/step at 12.7k photons/step, B=2^17, tile16/t20); a session whose
-# best chunk stays below HEALTH_FRAC of this is marked degraded
-HEALTHY_REF_PHOTONS_PER_S = 2.2e6
+# healthy single-chunk rate observed on a clean tunnel (2026-08-20, lane-major
+# kernel + pallas phase pair: 3.4-3.5 ms/step at 12.7k photons/step, B=2^17,
+# tile16/t20 => ~3.6M ph/s steady-state); a session whose best chunk stays
+# below HEALTH_FRAC of this is marked degraded
+HEALTHY_REF_PHOTONS_PER_S = 3.0e6
 HEALTH_FRAC = 0.5
 
 
@@ -99,10 +100,12 @@ def main():
 
     ab, scene, st = build()
     # production config: per-tile majorants + 20-deg truncation (TMS) +
-    # in-kernel spectral contraction of image deposits (rad_w);
-    # n_scat_max=600 bounds pathological walks (negligible energy there)
+    # in-kernel spectral contraction of image deposits (rad_w) + the Pallas
+    # MXU phase-pair kernel (use_pallas; physics matched to the XLA path to
+    # 0.05%, tests/test_pallas_phase.py); n_scat_max=600 bounds pathological
+    # walks (negligible energy there)
     cfg = SolverConfig(target='radiance', batch=1 << 17, n_scat_max=600,
-                       tile_size=16)
+                       tile_size=16, use_pallas=True)
     factors, _ = spectral_factors(ab, nz_out=1)
     rad_w = factors[0]
 

@@ -161,13 +161,21 @@ class pha_mie_wc:
         }
 
 
-def build_phase_table(pha_obj=None, n_u: int = 8192, n_m: int = 4096,
+def build_phase_table(pha_obj=None, n_u: int = 2048, n_m: int = 2048,
                       forward_trunc_deg: float | None = None) -> PhaseTable:
     """Compile a phase object into the kernel's :class:`PhaseTable`.
 
     With ``pha_obj=None`` returns a table whose single tabulated entry is
     HG(g=0.85) — the reference's fallback when no phase set is supplied
     (er3t/rtm/mca/mca_atm.py:260-262).
+
+    Resolution: ``n_u`` inverse-CDF quantiles for sampling and ``n_m``
+    uniform-mu bins for the (bin-averaged) evaluation rows.  2048/2048
+    resolves the post-truncation Mie structure (rainbow/glory widths are
+    1-2 deg >= the 0.06-deg worst-case bin) and is validated by the
+    cross-solver and truncation closure tests; it also sets the MXU
+    one-hot contraction size of the Pallas phase-pair kernel
+    (rtm/pallas_phase.py — cost is linear in n_u + 2*n_m).
 
     ``forward_trunc_deg`` enables delta-truncation: scattering within that
     angle of forward is treated as unscattered.  The returned ``trunc_f``

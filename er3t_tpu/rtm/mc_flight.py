@@ -988,6 +988,12 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         mu_new = mu_pair if mu_pair is not None else phase_sample(apf, u[5])
         psi = u[6] * (2.0 * jnp.pi)
         ux_s, uy_s, uz_s = rotate(ux, uy, uz, mu_new, psi)
+        # NOTE: a hand-written Lambertian fast path here (skipping the
+        # Cox-Munk/LSRT lane math behind st.sfc_lambertian) measured a
+        # reproducible 1.07 ms/step REGRESSION (scripts/tpu_isolate_ab.py,
+        # 3.01 -> 4.08) — the extra (B,) transcendental chain splits XLA's
+        # fusion worse than the dead-branch BRDF math it removes.  Keep the
+        # generic call.
         bx, by, bz, bw = brdf_sample_dir_weight(
             jsfc_l, psfc_l, ux, uy, uz, u[5], u[6], u[9], u[10])
         ux = jnp.where(accept, ux_s, jnp.where(hit_sfc, bx, ux))

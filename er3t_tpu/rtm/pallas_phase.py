@@ -111,7 +111,7 @@ def _kernel(apf_ref, row_e_ref, mu_ref, u_ref,
 @functools.partial(jax.jit,
                    static_argnames=('meta_t', 'lb', 'interpret'))
 def _phase_pair(apf, row_e, mu_sc, u, packed: PackedPhase, *, meta_t,
-                lb=8192, interpret=False):
+                lb=2048, interpret=False):
     meta = dict(meta_t)
     B = apf.shape[0]
     ke = packed.pe_hi.shape[0]
@@ -137,7 +137,7 @@ def _phase_pair(apf, row_e, mu_sc, u, packed: PackedPhase, *, meta_t,
 
 
 def phase_pair(apf, row_e, mu_sc, u, packed: PackedPhase, meta,
-               lb=8192, interpret=False):
+               lb=2048, interpret=False):
     """Fused (P_eval, mu_new) lookups.
 
     ``apf``: (B,) int32 sample-table rows; ``row_e``: (B,) int32 eval-table

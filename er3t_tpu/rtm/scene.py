@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..pre.pha import PhaseTable, build_phase_table
-from ..pre.sfc import Surface, sfc_lambertian
+from ..pre.sfc import SFC_LAMBERTIAN, Surface, sfc_lambertian
 from ..physics.rayleigh import rayleigh_od
 from ..util.grid import get_lay_index
 
@@ -90,6 +90,11 @@ class SceneStatic:
     has_aer1d: bool
     ipa: bool = False         # independent-pixel mode (no horizontal transport)
     ns3: int = 1              # number of 3D constituents (cloud + 3D aerosols)
+    sfc_lambertian: bool = False  # every surface cell is Lambertian.
+    #                               Informational: a kernel fast path keyed on
+    #                               this measured a 1.07 ms/step REGRESSION
+    #                               (fusion split; scripts/tpu_isolate_ab.py),
+    #                               so the kernels keep the generic BRDF calls
 
 
 def _cloud_to_grids(cld, pha, atm):
@@ -283,5 +288,6 @@ def build_scene(atm, abs_coef, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
         nxs=sfc.nx, nys=sfc.ny, dx=float(dx), dy=float(dy),
         has_3d=has_3d, has_aer1d=bool(aer_1ds), ipa=bool(ipa),
         ns3=int(ssa3d.shape[-1]),
+        sfc_lambertian=bool(np.all(np.asarray(sfc.jsfc) == SFC_LAMBERTIAN)),
     )
     return arrays, static

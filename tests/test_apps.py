@@ -13,6 +13,7 @@ def atm():
     return atm_atmmod(np.linspace(0, 20, 21))
 
 
+@pytest.mark.slow
 def test_ref_vs_cot_monotone(atm):
     cot = np.array([0.0, 1.0, 5.0, 20.0, 80.0])
     c = func_ref_vs_cot(atm, cot_grid=cot, photons=100000,
@@ -27,6 +28,7 @@ def test_ref_vs_cot_monotone(atm):
     assert cot_hat[0] == pytest.approx(5.0, rel=0.25)
 
 
+@pytest.mark.slow
 def test_bispectral_lut_and_retrieval(atm):
     cot = np.array([0.0, 2.0, 8.0, 30.0])
     cer = np.array([6.0, 12.0, 20.0])

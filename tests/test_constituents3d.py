@@ -107,6 +107,7 @@ def test_single_scatter_closed_form():
     assert abs(got - wrong) > 0.3 * analytic
 
 
+@pytest.mark.slow
 def test_flight_matches_marching():
     """The two independent kernels implement the same per-constituent
     selection (thicker scene, multiple scattering orders)."""

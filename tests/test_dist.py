@@ -55,6 +55,7 @@ def test_photon_parallel_matches_single(cloudy_scene):
     assert r8 == pytest.approx(r1, rel=0.05)
 
 
+@pytest.mark.slow
 def test_decomp_matches_single(cloudy_scene):
     ab, scn, st = cloudy_scene
     cfg = SolverConfig(target='radiance', batch=1 << 11)
@@ -70,6 +71,7 @@ def test_decomp_matches_single(cloudy_scene):
     assert rd[8:].mean() == pytest.approx(r1[8:].mean(), rel=0.07)   # clear half
 
 
+@pytest.mark.slow
 def test_decomp_2d_mesh(cloudy_scene):
     """Composite sharding: 2 slabs x 4 photon streams."""
     ab, scn, st = cloudy_scene
@@ -82,6 +84,7 @@ def test_decomp_2d_mesh(cloudy_scene):
     assert rd[:8].mean() > rd[8:].mean()  # cloudy half brighter
 
 
+@pytest.mark.slow
 def test_decomp_with_tile_majorants(cloudy_scene):
     """x-slab decomposition composed with per-tile majorants: tile faces
     inside the slab clamp flights; the slab face keeps migration priority."""
@@ -97,6 +100,7 @@ def test_decomp_with_tile_majorants(cloudy_scene):
     assert rd[:8].mean() == pytest.approx(r1[:8].mean(), rel=0.07)
 
 
+@pytest.mark.slow
 def test_photon_parallel_flux(cloudy_scene):
     """Flux tallies must be psum-reduced across the mesh like radiance."""
     ab, scn, st = cloudy_scene
@@ -114,6 +118,7 @@ def test_photon_parallel_flux(cloudy_scene):
     assert f8[-1, 0] == pytest.approx(1.0, rel=1e-5)
 
 
+@pytest.mark.slow
 def test_decomp_flux_domain_average(cloudy_scene):
     ab, scn, st = cloudy_scene
     # n_scat_max bounds the straggler drain tail (negligible energy there);
@@ -133,6 +138,7 @@ def test_decomp_flux_domain_average(cloudy_scene):
     np.testing.assert_allclose(fd[:, 2], f1[:, 2], rtol=0.2, atol=0.01)
 
 
+@pytest.mark.slow
 def test_decomp_flux_per_column(cloudy_scene):
     """Per-column level-crossing tallies partition with the slabs."""
     ab, scn, st = cloudy_scene

@@ -87,6 +87,7 @@ def test_mc_vs_doubling_adding_clear(mc_env):
         assert i_mc == pytest.approx(i_da, rel=0.02), (sza, alb)
 
 
+@pytest.mark.slow
 def test_mc_vs_doubling_adding_cloud(mc_env):
     """Homogeneous HG cloud: nadir MC radiance matches doubling-adding
     (delta-M + TMS) within MC noise at two solar geometries."""

@@ -61,6 +61,7 @@ def test_phase_pair_nonaligned_bins():
     assert np.abs(np.asarray(mn) - pt_mu[apf, iu]).max() <= 2e-5
 
 
+@pytest.mark.slow
 def test_use_pallas_full_kernel_agrees():
     """Transport with use_pallas=True reproduces the XLA kernel's estimates
     (statistical agreement; ~1e-5 table rounding decorrelates individual

@@ -35,6 +35,7 @@ def test_solve_camera(base):
     assert inside.sum() > 100 and np.all(rad[inside] >= 0)
 
 
+@pytest.mark.slow
 def test_solve_p3d_limits(base):
     """Partial-3D column pinning: a pinning order no photon reaches is
     EXACTLY full 3D; low orders give a columnar approximation of the same
@@ -75,6 +76,7 @@ def test_solve_flux_engines(base):
         float(rm['f_down'][0, 0, 0]), rel=0.06)
 
 
+@pytest.mark.slow
 def test_solve_mesh_routing(base):
     """mesh= routes to the dist layer: photon-parallel ('x'=1) and x-slab
     domain decomposition ('x'>1) both reproduce the single-device result."""
@@ -88,6 +90,7 @@ def test_solve_mesh_routing(base):
     assert float(rx['rad'].mean()) == pytest.approx(m1, rel=0.07)
 
 
+@pytest.mark.slow
 def test_solve_mesh_flux_decomp(base):
     """Flux + heating rate through the decomposed path via solve()."""
     mesh_x = make_mesh(4, decomp=4)

@@ -27,6 +27,7 @@ def test_distribute_photon_parity():
     assert d.argmax() == 0
 
 
+@pytest.mark.slow
 def test_independent_g_matches_correlated(atm):
     ab = abs_synthetic(650.0, atm)
     kw = dict(atm=atm, abs_coef=ab, surface=0.2, target='radiance',
@@ -62,6 +63,7 @@ def test_result_h5_roundtrip(atm, tmp_path):
     assert 'f_up_std' in back.std
 
 
+@pytest.mark.slow
 def test_tile_majorant_equivalence(atm):
     """Per-tile majorants (SolverConfig.tile_size, the counterpart of
     MCARaTS Atm_mcs super-voxels) must leave radiance expectation unchanged;
@@ -94,6 +96,7 @@ def test_tile_majorant_equivalence(atm):
     assert out[8][hi].mean() == pytest.approx(out[0][hi].mean(), rel=0.05)
 
 
+@pytest.mark.slow
 def test_flux_per_column_normalization(atm):
     """Per-column fluxes must have the same physical magnitude as the
     domain-average fluxes (regression: per-column tallies were low by the
@@ -115,6 +118,7 @@ def test_flux_per_column_normalization(atm):
         float(r_dom['f_down'][0, 0, 0]), rel=0.05)
 
 
+@pytest.mark.slow
 def test_flux_engines_agree(atm):
     """Flight-based flux tallies (bulk level crossings) match the
     event-marching kernel within MC noise, per channel and level."""
@@ -144,6 +148,7 @@ def test_flux_engines_agree(atm):
     assert (ff[0, 1, :] @ w) == pytest.approx(fm[0, 1, :] @ w, rel=0.08)
 
 
+@pytest.mark.slow
 def test_collision_forcing_unbiased(atm):
     """cf_dtau collision forcing (MCARaTS Rad_cf_* counterpart) leaves the
     radiance expectation unchanged."""
@@ -171,6 +176,7 @@ def test_collision_forcing_unbiased(atm):
         out[cf] = (np.asarray(t.rad) @ ab.weight) / int(t.n_launched)
     assert out[2.0].mean() == pytest.approx(out[0.0].mean(), rel=0.03)
 
+@pytest.mark.slow
 def test_flux_kcross_clamp_equivalence(atm):
     """The crossing-count clamp (flux_kcross>0, bounded per-column tally
     scatter) is exact: per-column tallies match the unclamped path and the
@@ -209,6 +215,7 @@ def test_flux_kcross_clamp_equivalence(atm):
         np.testing.assert_allclose(f_k4[sel, ch], f_mar[sel, ch], rtol=0.06)
     assert f_k4[0, 1] == pytest.approx(f_mar[0, 1], rel=0.08)
 
+@pytest.mark.slow
 def test_flux_collision_forcing_unbiased(atm):
     """Flux-mode collision forcing (MCARaTS Flx_cf_dtau counterpart): the
     forced branch plus the deterministic escape branch leave every
@@ -249,6 +256,7 @@ def test_flux_collision_forcing_unbiased(atm):
         assert f2[0, 1] == pytest.approx(f0[0, 1], rel=0.08)
 
 
+@pytest.mark.slow
 def test_photon_splitting_unbiased(atm):
     """Weight-window splitting (MCARaTS Pho_wmax/wfac counterpart) preserves
     the radiance expectation and reduces seed-to-seed variance at a matched
