@@ -118,9 +118,13 @@ def main():
 
     # ---------------- phase 0: warm-up + health probe ----------------
     run(100_000, seed=0)
-    t0 = time.time()
-    _, n_h = run(2_000_000, seed=1)
-    probe_rate = n_h / (time.time() - t0)
+    probe_rate = 0.0
+    for k in range(3):            # a probe can hit a tunnel stall too
+        t0 = time.time()
+        _, n_h = run(2_000_000, seed=1)
+        probe_rate = max(probe_rate, n_h / (time.time() - t0))
+        if probe_rate >= HEALTH_FRAC * HEALTHY_REF_PHOTONS_PER_S:
+            break
 
     # ---------------- phase 1: throughput ----------------
     # The tunnel stalls intermittently (identical compiled chunks oscillate
