@@ -238,6 +238,27 @@ def build_scene(atm, abs_coef, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
         cf3d = np.ones((1, 1, 1, 1), dtype=np.float32)
         has_3d = False
 
+    # Phase-row compaction: keep only the table rows this scene references
+    # (row 0 = Rayleigh always; big Mie tables carry ~20 reff rows of which
+    # a scene typically uses a fraction).  Exactly zero physics change —
+    # unused rows contribute nothing — but the Pallas phase-pair kernel's
+    # MXU one-hot cost is LINEAR in packed rows (rtm/pallas_phase.py), so
+    # dropping them is a direct per-step saving.  apf indices are remapped
+    # onto the compacted table.
+    used = np.unique(np.concatenate([[0], apf3d.ravel(), aer_apf.ravel()]))
+    if used.size < table.n_pf:
+        remap = np.zeros(table.n_pf, dtype=np.int32)
+        remap[used] = np.arange(used.size, dtype=np.int32)
+        table = PhaseTable(
+            mu_sample=table.mu_sample[used],
+            p_eval=table.p_eval[used],
+            asy=table.asy[used], ssa=table.ssa[used], reff=table.reff[used],
+            trunc_f=table.trunc_f[used],
+            p_tms=None if table.p_tms is None else table.p_tms[used],
+        )
+        apf3d = remap[apf3d]
+        aer_apf = remap[aer_apf]
+
     # scattering majorant per layer
     sig_maj = sig_ray + sig_aer.sum(axis=1)
     if has_3d:
