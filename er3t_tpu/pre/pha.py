@@ -67,6 +67,26 @@ class PhaseTable:
     def n_pf(self) -> int:
         return self.mu_sample.shape[0]
 
+    def take_rows(self, rows: np.ndarray) -> 'PhaseTable':
+        """Return a table holding only ``rows`` (in order), slicing EVERY
+        array field whose leading dim is the row count.  A future field that
+        is neither row-indexed nor None fails loudly here instead of being
+        silently dropped by an explicit field list."""
+        n = self.n_pf
+        kw = {}
+        for f in dataclasses.fields(self):
+            v = getattr(self, f.name)
+            if v is None:
+                kw[f.name] = None
+            elif isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] == n:
+                kw[f.name] = v[rows]
+            else:
+                raise TypeError(
+                    f'PhaseTable.take_rows: field {f.name!r} is not '
+                    f'row-indexed (shape {getattr(v, "shape", None)}); '
+                    'teach take_rows how to slice it')
+        return PhaseTable(**kw)
+
 
 def _invert_cdf(ang_deg: np.ndarray, pha: np.ndarray, n_u: int) -> np.ndarray:
     """Inverse CDF of a tabulated phase function -> mu at uniform u grid."""

@@ -168,10 +168,12 @@ class SolverConfig:
     #                                     distribution — unbiased)
     ablate: str = ''                   # profiling-only (scripts/tpu_profile_
     #                                     ablate.py): comma-joined subset of
-    #                                     {'vox','phase','deposit'} replaces
-    #                                     that gather/scatter with a constant
-    #                                     to cost it by difference; NEVER use
-    #                                     for physics
+    #                                     {'vox','phase','deposit','firstdep'}
+    #                                     replaces that gather/scatter with a
+    #                                     constant (firstdep: drops first-
+    #                                     order radiance deposits — variance-
+    #                                     budget diagnostic); NEVER use for
+    #                                     physics
 
 
 class Tallies(NamedTuple):

@@ -947,6 +947,11 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                 c_sfc = (wsc * rho_sens)[None, :] * t_sens
                 contrib = jnp.where(accept[None, :], c_vol,
                                     jnp.where(hit_sfc[None, :], c_sfc, 0.0))
+            if 'firstdep' in ablate:
+                # diagnostic only (variance budget): drop first-order
+                # deposits (volume estimates at the first scattering and
+                # direct-beam surface estimates) — BIASED, never physics
+                contrib = jnp.where(direct[None, :], 0.0, contrib)
 
             # pathlength at detection: path so far + vertical exit path to TOA
             pl_det = plen + (z_top - z) / mu_s                  # (B,)

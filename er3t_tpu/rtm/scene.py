@@ -134,13 +134,25 @@ def _cloud_to_grids(cld, pha, atm):
 
 def build_scene(atm, abs_coef, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
                 surface=0.03, solar_zenith_angle=30.0, solar_azimuth_angle=0.0,
-                ipa=False, forward_trunc_deg=None):
+                ipa=False, forward_trunc_deg=None, pfpeak=None):
     """Assemble a scene for the transport kernel.
 
     Parameters mirror the reference's ``mcarats_ng`` front door
     (mcarats.py:62-231): atmosphere + absorption objects, optional cloud and
     phase set, aerosol lists, surface (scalar albedo or :class:`Surface`),
     solar geometry.
+
+    ``pfpeak`` (MCARaTS ``Pho_pfpeak``, mca_inp.py:199,494, default 30.0
+    there): clamp the *working* phase-function evaluation rows used by
+    multiple-scattering local estimates at this peak value and redistribute
+    the clipped energy uniformly over mu, so no single radiance deposit can
+    spike by more than ~pfpeak/P_typ above the mean.  Sampling rows and the
+    TMS rows (first-order estimates — exact single scattering) are left
+    untouched, so the clamp only smooths the order>=2 estimator, which is
+    MCARaTS's truncation-approximation semantics.  The redistribution keeps
+    the eval rows normalized (integral P dmu = 2); the residual moved is the
+    energy above the clamp — tiny once ``forward_trunc_deg`` has already
+    removed the diffraction peak.  None/0 disables (exact estimator).
     """
     nz = atm.nz
     ng = abs_coef.ng
@@ -249,15 +261,25 @@ def build_scene(atm, abs_coef, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
     if used.size < table.n_pf:
         remap = np.zeros(table.n_pf, dtype=np.int32)
         remap[used] = np.arange(used.size, dtype=np.int32)
-        table = PhaseTable(
-            mu_sample=table.mu_sample[used],
-            p_eval=table.p_eval[used],
-            asy=table.asy[used], ssa=table.ssa[used], reff=table.reff[used],
-            trunc_f=table.trunc_f[used],
-            p_tms=None if table.p_tms is None else table.p_tms[used],
-        )
+        table = table.take_rows(used)
         apf3d = remap[apf3d]
         aer_apf = remap[aer_apf]
+
+    if pfpeak is not None and pfpeak > 0:
+        # Pho_pfpeak counterpart: clamp working eval rows (1..) at pfpeak and
+        # redistribute the clipped energy uniformly (keeps int P dmu = 2).
+        # Row 0 (Rayleigh, max 1.5) and TMS rows are untouched.
+        pe = np.array(table.p_eval, dtype=np.float64)
+        n_m = pe.shape[1]
+        edges = np.empty(n_m + 1)
+        mu_grid = np.linspace(-1.0, 1.0, n_m)
+        edges[1:-1] = 0.5 * (mu_grid[1:] + mu_grid[:-1])
+        edges[0], edges[-1] = -1.0, 1.0
+        widths = np.diff(edges)                                # (Nm,)
+        clipped = np.maximum(pe[1:] - pfpeak, 0.0)
+        resid = clipped @ widths                               # (Npf-1,)
+        pe[1:] = np.minimum(pe[1:], pfpeak) + resid[:, None] / 2.0
+        table = dataclasses.replace(table, p_eval=pe.astype(np.float32))
 
     # scattering majorant per layer
     sig_maj = sig_ray + sig_aer.sum(axis=1)

@@ -210,7 +210,7 @@ def solve(atm=None, abs_coef=None, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
           forward_trunc_deg=None, tile_size=0, flux_engine='flight',
           flux_kcross=4, cf_dtau=0.0, pathlength=False, split_wmax=0.0,
           rr_wmin=0.1, n_scat_max=2000, mesh=None, diffusion=0,
-          qmc_launch=False):
+          qmc_launch=False, pfpeak=None):
     """Run a full radiative-transfer simulation — the single front door.
 
     Parameters mirror ``mcarats_ng`` (reference mcarats.py:62-231).  Every
@@ -235,6 +235,9 @@ def solve(atm=None, abs_coef=None, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
     Atm_mcs_* (super-voxels)      tile_size (per-tile majorants)
     Pho_wmin                      rr_wmin (Russian-roulette window)
     Pho_wmax/wfac                 split_wmax (weight-window splitting)
+    Pho_pfpeak                    pfpeak (clamp multiple-scattering local-
+                                  estimate phase values at this peak, clipped
+                                  energy redistributed — see build_scene)
     Sca_nchi/qtfmax               forward_trunc_deg (delta truncation + TMS)
     Flx_nxb/nyb                   flux_per_column (per-column vs average)
     Flx_diff0/1, Rad_difr0/1      er3t_tpu.rtm.out smoothing (diffusion=)
@@ -268,7 +271,7 @@ def solve(atm=None, abs_coef=None, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
         atm, abs_coef, cld=cld, pha=pha, aer_1ds=aer_1ds, aer_3ds=aer_3ds,
         surface=surface, solar_zenith_angle=solar_zenith_angle,
         solar_azimuth_angle=solar_azimuth_angle, ipa=ipa,
-        forward_trunc_deg=forward_trunc_deg)
+        forward_trunc_deg=forward_trunc_deg, pfpeak=pfpeak)
 
     if batch is None:
         batch = 1 << 17 if jax.default_backend() != 'cpu' else 1 << 14

@@ -74,3 +74,58 @@ def test_truncated_radiance_matches_mild_truncation(mie):
         means[td] = float(((np.asarray(t.rad) @ ab.weight)
                            / int(t.n_launched)).mean())
     assert means[20.0] == pytest.approx(means[5.0], rel=0.03)
+
+
+def test_pfpeak_clamps_and_renormalizes(mie):
+    """pfpeak (MCARaTS Pho_pfpeak) clamps the WORKING eval rows at the peak
+    (plus the tiny uniform redistribution) and keeps them normalized; TMS
+    rows and sampling rows are untouched."""
+    atm = atm_atmmod(np.concatenate([np.arange(0, 3.0, 0.5),
+                                     np.arange(3.0, 20.1, 2.0)]))
+    ab = abs_synthetic(650.0, atm)
+    cld = cld_gen_hem(nx=8, ny=8, nz=2, dx=0.5, dy=0.5, dz=0.5,
+                      cloud_frac_tgt=0.4, radii=(0.5,), cot_scale=10.0,
+                      cloud_base=0.5, seed=3)
+    kw = dict(cld=cld, pha=mie, surface=0.03, solar_zenith_angle=30.0)
+    s0, st0 = build_scene(atm, ab, **kw)                 # untruncated: peaky
+    sc, stc = build_scene(atm, ab, pfpeak=30.0, **kw)
+    n_pf = np.asarray(sc.pt_mu).shape[0]
+    p0 = np.asarray(s0.pt_p)
+    pc = np.asarray(sc.pt_p)
+    # untruncated Mie working rows carry a >> 30 diffraction peak
+    assert p0[1:n_pf].max() > 300.0
+    resid = pc[1:n_pf].min(axis=1)                       # uniform floor >= add-back
+    assert pc[1:n_pf].max() <= 30.0 + resid.max() + 1e-3
+    mu = np.linspace(-1.0, 1.0, pc.shape[1])
+    norms = np.trapezoid(pc[1:n_pf], mu, axis=1)
+    np.testing.assert_allclose(norms, 2.0, rtol=5e-3)
+    # TMS half (first-order estimates) and sampling rows are exact/unchanged
+    np.testing.assert_allclose(pc[n_pf:], p0[n_pf:])
+    np.testing.assert_allclose(np.asarray(sc.pt_mu), np.asarray(s0.pt_mu))
+
+
+@pytest.mark.slow
+def test_pfpeak_small_bias(mie):
+    """The pfpeak truncation-approximation moves only the clipped peak
+    energy: radiance means with/without the clamp agree within MC noise on
+    the truncated production table (where the clamp removes almost
+    nothing), and within a few percent on the untruncated table."""
+    atm = atm_atmmod(np.concatenate([np.arange(0, 3.0, 0.5),
+                                     np.arange(3.0, 20.1, 2.0)]))
+    ab = abs_synthetic(650.0, atm)
+    cld = cld_gen_hem(nx=48, ny=48, nz=4, dx=0.1, dy=0.1, dz=0.5,
+                      cloud_frac_tgt=0.25, radii=(0.5, 1.0), cot_scale=15.0,
+                      cloud_base=0.5, seed=7)
+    cfg = SolverConfig(target='radiance', batch=1 << 14, n_scat_max=500,
+                       tile_size=16)
+    means = {}
+    for pk in (None, 30.0):
+        scene, st = build_scene(atm, ab, cld=cld, pha=mie, surface=0.03,
+                                solar_zenith_angle=30.0,
+                                solar_azimuth_angle=45.0,
+                                forward_trunc_deg=20.0, pfpeak=pk)
+        t = run_transport_flight(scene, st, cfg, 250_000, seed=11,
+                                 rng_impl='threefry2x32')
+        means[pk] = float(((np.asarray(t.rad) @ ab.weight)
+                           / int(t.n_launched)).mean())
+    assert means[30.0] == pytest.approx(means[None], rel=0.02)
