@@ -7,17 +7,33 @@ axis; each device transports photons only while they are inside its slab.
 Flights clamp at slab faces (er3t_tpu.rtm.mc_flight), the lane freezes, and
 a migration exchange moves it to the neighbor over ICI.
 
-Migration is a *bijective window swap*: each device stably partitions its
-photon lanes so that outgoing lanes (then dead padding) occupy a fixed
-window, and the window is exchanged wholesale with the neighbor via
-``lax.ppermute``.  Because the swap is a permutation of lanes across the
-ring, no photon can ever be lost or duplicated regardless of load imbalance;
-lanes that could not be placed simply retry next round (backpressure).
+Migration is a *capacity-backpressured prefix swap*: each device stably
+partitions its lanes (dead first, then outgoing, then the rest), exchanges
+scalar capacities along the ring (two fixed-point rounds: a receiver's
+capacity is its dead slots plus the rows it vacates by shipping in the same
+swap), then ships exactly ``n_ship = min(outgoing, window, neighbor
+capacity)`` real rows via ``lax.ppermute`` — the window's remaining rows are
+zeroed sentinels.  Receivers host the incoming prefix in their dead/vacated
+rows.  No photon can be lost or duplicated (each shipped row is vacated at
+the source and guaranteed a free slot at the destination), and — unlike a
+wholesale window swap — no *active in-slab* lane is ever exported: a
+wholesale swap freezes up to ``2 (M - outgoing - dead)`` productive lanes
+per direction per superstep, which measured as a 38x work-per-photon
+explosion on a 2-slab broken-cloud run.  Emigrants beyond the shipped
+prefix stay frozen and retry next superstep (backpressure).  The transport
+kernel additionally reserves a few dead lanes per iteration from respawn
+(``spawn_reserve``) so migration capacity never starves against the launch
+quota.
 
 Per superstep: K inner transport iterations, then a right-swap and a
-left-swap.  Tallies stay slab-local (nadir sensor ⇒ image pixels partition
-with the slabs; per-column level-crossing flux tallies partition the same
-way) and concatenate on exit; domain-average flux takes one psum.  The
+left-swap.  Per-column level-crossing flux tallies partition with the slabs
+and concatenate on exit; domain-average flux takes one psum.  Radiance
+images are GLOBAL per device and psum-reduced: the kernel's local estimates
+need only the event's own voxel column for 3D sensor attenuation (the
+tilted-column evaluation of rtm/mc_flight.py — identical to the
+single-device estimator), so slant satellite sensors (MCARaTS Rad_the,
+mca_inp.py:324-338), IPA pinning and fisheye cameras all decompose; the
+only cross-slab coupling is which image pixel receives the deposit.  The
 reference runs both radiance and flux workloads under its MPI fan-out
 (er3t/rtm/mca/mca_run.py:110-113) — this path covers the same target set.
 """
@@ -57,13 +73,14 @@ def _unpack(m: jnp.ndarray, c: FlightCarry) -> FlightCarry:
 
 
 def transport_decomp(scene, st, cfg: SolverConfig, n_photon: int, mesh,
-                     seed: int = 0, k_super: int = 64, window: int | None = None,
+                     seed: int = 0, k_super: int = 16, window: int | None = None,
                      max_rounds: int | None = None, flux_w=None,
-                     rad_w=None) -> Tallies:
+                     rad_w=None, spawn_reserve: int | None = None) -> Tallies:
     """Run transport with the scene x-decomposed over mesh axis 'x'.
 
     ``scene``/``st`` describe the *global* scene; arrays are sharded here.
-    Supports radiance (nadir satellite sensor), flux and heating-rate
+    Supports radiance (nadir or slant satellite sensors and fisheye
+    cameras — images are global and psum-reduced), flux and heating-rate
     targets — per-column flux tallies partition with the slabs; the
     domain-average flux takes one psum.  Returns global tallies (image /
     per-column flux gathered across slabs).
@@ -72,16 +89,7 @@ def transport_decomp(scene, st, cfg: SolverConfig, n_photon: int, mesh,
     if st.nx % n_dev:
         raise ValueError('nx must divide the decomposition axis')
     radiance = cfg.target == 'radiance'
-    if cfg.sensor_type == 'camera':
-        raise NotImplementedError(
-            'transport_decomp does not support camera sensors: a fisheye '
-            'point estimator needs attenuation paths through remote slabs; '
-            'run cameras on the photon-parallel path (dist.photon) instead')
-    if radiance and abs(cfg.sensor_zenith) > 1e-6:
-        raise NotImplementedError(
-            'transport_decomp requires a nadir sensor (sensor_zenith=0): '
-            'slant local-estimation paths project image pixels across slab '
-            'boundaries; use dist.photon for slant sensors')
+    camera = cfg.sensor_type == 'camera'
     if cfg.pathlength:
         raise NotImplementedError(
             'pathlength statistics are not carried through photon migration')
@@ -90,6 +98,10 @@ def transport_decomp(scene, st, cfg: SolverConfig, n_photon: int, mesh,
     slab = SlabSpec(nx_global=st.nx, nx_local=nx_loc)
     B = cfg.batch
     M = window or max(B // 4, 1)
+    if spawn_reserve is None:
+        # landing capacity per swap that respawn may not consume; only
+        # needed on true multi-slab rings (see migrate_dir backpressure)
+        spawn_reserve = min(M // 2, B // 8) if n_dev > 1 else 0
     n_per = int(n_photon) // n_dev
     if max_rounds is None:
         max_rounds = int(np.ceil(n_per / B + 1) * max(1600 // k_super, 8)) + 32
@@ -123,24 +135,52 @@ def transport_decomp(scene, st, cfg: SolverConfig, n_photon: int, mesh,
         body, _, carry0 = make_flight_kernel(
             scene_loc, st_loc, cfg, n_per, key, slab=slab, x_off=x_off,
             flux_w=fw_loc if scalar_flux else None,
-            rad_w=rw_loc if scalar_rad else None)
+            rad_w=rw_loc if scalar_rad else None,
+            spawn_reserve=spawn_reserve)
         lx_loc = nx_loc * st.dx
 
-        def migrate_dir(c: FlightCarry, ring, target_fn):
+        alive_col = 11   # _pack column of the alive flag
+
+        def migrate_dir(c: FlightCarry, ring_fwd, ring_rev, target_fn):
             t_slab = jnp.floor(c.x / lx_loc).astype(jnp.int32) % n_dev
             emig = c.alive & (t_slab == target_fn(me))
-            k = jnp.where(emig, 0, jnp.where(~c.alive, 1, 2)).astype(jnp.int32)
+            dead = ~c.alive
+            # dead first, emigrants second, active-in-slab last — active
+            # lanes can then never be exported by construction
+            k = jnp.where(dead, 0, jnp.where(emig, 1, 2)).astype(jnp.int32)
             perm = jnp.argsort(k, stable=True)
-            m = _pack(c)[perm]
-            win = jax.lax.ppermute(m[:M], axis_name='x', perm=ring)
-            m = m.at[:M].set(win)
+            n_dead = jnp.sum(dead.astype(jnp.int32))
+            n_emig = jnp.sum(emig.astype(jnp.int32))
+            # capacity fixed point (2 rounds): my capacity = dead slots +
+            # rows I vacate by shipping this same swap; ship = min(emig,
+            # window, receiver capacity).  Converges from below, so any
+            # truncation is safe backpressure.
+            cap = n_dead
+            ship = jnp.minimum(n_emig, M)
+            for _ in range(2):
+                cap_nb = jax.lax.ppermute(cap, axis_name='x', perm=ring_rev)
+                ship = jnp.minimum(jnp.minimum(n_emig, M), cap_nb)
+                cap = n_dead + ship
+            m = _pack(c)
+            j = jnp.arange(M)
+            src = perm[jnp.clip(n_dead + j, 0, B - 1)]
+            out_win = jnp.where((j < ship)[:, None], m[src], 0.0)
+            in_win = jax.lax.ppermute(out_win, axis_name='x', perm=ring_fwd)
+            n_in = jax.lax.ppermute(ship, axis_name='x', perm=ring_fwd)
+            # vacate shipped rows, then host the incoming prefix in the
+            # dead/vacated region perm[0 : n_dead + ship] (n_in is bounded
+            # by the capacity we advertised, so every row fits)
+            m = m.at[src, alive_col].set(
+                jnp.where(j < ship, 0.0, m[src, alive_col]))
+            dst = perm[jnp.clip(j, 0, B - 1)]
+            m = m.at[dst].set(jnp.where((j < n_in)[:, None], in_win, m[dst]))
             return _unpack(m, c)
 
         def superstep(state):
             c, r = state
             c = jax.lax.fori_loop(0, k_super, lambda i, cc: body(cc), c)
-            c = migrate_dir(c, ring_r, lambda me: (me + 1) % n_dev)
-            c = migrate_dir(c, ring_l, lambda me: (me - 1) % n_dev)
+            c = migrate_dir(c, ring_r, ring_l, lambda me: (me + 1) % n_dev)
+            c = migrate_dir(c, ring_l, ring_r, lambda me: (me - 1) % n_dev)
             return (c, r + 1)
 
         def cond(state):
@@ -152,8 +192,17 @@ def transport_decomp(scene, st, cfg: SolverConfig, n_photon: int, mesh,
         c, rounds = jax.lax.while_loop(cond, superstep, (carry0, jnp.zeros((), jnp.int32)))
         launched = jax.lax.psum(jax.lax.psum(c.launched, 'x'), 'b')
         steps = jax.lax.psum(jax.lax.psum(c.step, 'x'), 'b')
-        rad = jax.lax.psum(c.rad, 'b').reshape(nx_loc, st.ny,
-                                               1 if scalar_rad else st.ng)
+        if radiance:
+            # the kernel deposits into the GLOBAL image under a slab (slant
+            # sensors / IPA / cameras project deposits across slab faces);
+            # one psum over both axes replaces the x-concatenation — the
+            # image is a few hundred KB against ms-scale supersteps
+            nxr, nyr = (cfg.cam_npix,) * 2 if camera else (st.nx, st.ny)
+            rad = jax.lax.psum(jax.lax.psum(c.rad, 'x'), 'b').reshape(
+                nxr, nyr, 1 if scalar_rad else st.ng)
+        else:
+            rad = jax.lax.psum(c.rad, 'b').reshape(
+                nx_loc, st.ny, 1 if scalar_rad else st.ng)
         nlev = st.nz + 1
         if radiance:
             flux = jnp.zeros((1, 1, nlev, 3, st.ng), _F)
@@ -179,8 +228,8 @@ def transport_decomp(scene, st, cfg: SolverConfig, n_photon: int, mesh,
         return Tallies(rad=rad, flux=flux, n_launched=launched, n_steps=steps)
 
     flux_spec = P('x') if (not radiance and cfg.flux_per_column) else P()
-    out_specs = Tallies(rad=P('x'), flux=flux_spec, n_launched=P(),
-                        n_steps=P(), rad_plen=P())
+    out_specs = Tallies(rad=P() if radiance else P('x'), flux=flux_spec,
+                        n_launched=P(), n_steps=P(), rad_plen=P())
     fn = jax.jit(jax.shard_map(worker, mesh=mesh,
                                in_specs=(in_specs, P(), P()),
                                out_specs=out_specs, check_vma=False))

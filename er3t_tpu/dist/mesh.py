@@ -24,11 +24,24 @@ __all__ = ['make_mesh', 'init_distributed']
 
 
 def init_distributed(**kwargs):
-    """Multi-host initialization (no-op if already initialized)."""
+    """Multi-host initialization.
+
+    With no arguments this is a best-effort auto-detect that is a safe
+    no-op on a single process (cluster detection failing or the backend
+    already being initialized are both benign there).  With explicit
+    coordinator parameters, only double-initialization is swallowed —
+    anything else (bad coordinator address, rank mismatch, backend already
+    initialized before the call) must surface: silently falling back to
+    single-process would corrupt a genuinely multi-host run.
+    """
     try:
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        pass
+    except (RuntimeError, ValueError) as e:
+        if not kwargs:
+            return
+        if isinstance(e, RuntimeError) and 'already' in str(e).lower():
+            return
+        raise
 
 
 def make_mesh(n_devices: int | None = None, decomp: int | None = None):

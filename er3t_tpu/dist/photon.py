@@ -38,13 +38,18 @@ def transport_photon_parallel(scene, st, cfg: SolverConfig, n_photon: int,
     rw = jnp.asarray(rad_w, jnp.float32) if use_rw \
         else jnp.zeros((st.ng,), jnp.float32)
 
-    seeds = jnp.arange(n_dev, dtype=jnp.uint32).reshape(
-        [mesh.shape[a] for a in axis_names])
-
     @jax.jit
-    def launch(scene, seeds, fw, rw):
-        def worker(scene, seed_me, fw_loc, rw_loc):
-            key = jax.random.fold_in(jax.random.key(seed), seed_me.reshape(())[()])
+    def launch(scene, fw, rw):
+        def worker(scene, fw_loc, rw_loc):
+            # per-device RNG stream from the mesh coordinates (no sharded
+            # seed input: this keeps the entry multi-process friendly —
+            # every input is replicated, so host-local arrays work under
+            # jax.distributed multi-controller execution too)
+            me = jnp.zeros((), jnp.uint32)
+            for a in axis_names:
+                me = me * jnp.uint32(mesh.shape[a]) \
+                    + jax.lax.axis_index(a).astype(jnp.uint32)
+            key = jax.random.fold_in(jax.random.key(seed), me)
             tal = transport_flight(scene, st, cfg, n_per, key,
                                    flux_w=fw_loc if use_fw else None,
                                    rad_w=rw_loc if use_rw else None)
@@ -61,9 +66,9 @@ def transport_photon_parallel(scene, st, cfg: SolverConfig, n_photon: int,
 
         return jax.shard_map(
             worker, mesh=mesh,
-            in_specs=(P(), P(*axis_names), P(), P()),
+            in_specs=(P(), P(), P()),
             out_specs=Tallies(rad=P(), flux=P(), n_launched=P(), n_steps=P(), rad_plen=P()),
             check_vma=False,
-        )(scene, seeds, fw, rw)
+        )(scene, fw, rw)
 
-    return launch(scene, seeds, fw, rw)
+    return launch(scene, fw, rw)

@@ -60,6 +60,27 @@ class SolverConfig:
     flux_per_column: bool = False      # tally fluxes per (x, y) column
     max_events: int = 0                # 0 -> auto bound
     rr_wmin: float = 0.1               # Russian-roulette threshold
+    rr_value: float = 0.0              # >0: sensor-importance roulette
+    #                                     (flight kernel, satellite radiance
+    #                                     only): photons whose estimated
+    #                                     future contribution wmax/(1+tau_v)
+    #                                     — tau_v the vertical scattering OD
+    #                                     between the photon and the sensor,
+    #                                     1/(1+tau) ~ the Milne escape
+    #                                     probability of a conservative
+    #                                     slab — falls below this threshold
+    #                                     are rouletted with survival
+    #                                     p = value/rr_value (floored at
+    #                                     0.05; the same p reweights
+    #                                     survivors, so any floor stays
+    #                                     unbiased).  Cuts the deep-cloud
+    #                                     random-walk iterations that
+    #                                     dominate cloudy-scene cost while
+    #                                     their deposits are attenuated
+    #                                     away; no MCARaTS counterpart
+    #                                     (its Pho_wmin kills on weight
+    #                                     only, which never triggers in
+    #                                     conservative 650 nm clouds)
     n_scat_max: int = 2000
     p3d_order: int = 0                 # >0: partial-3D — pin the column after
     #                                     this scattering order (MCARaTS
@@ -180,9 +201,12 @@ class Tallies(NamedTuple):
     rad: jnp.ndarray        # (Nxr, Nyr, Ng)
     flux: jnp.ndarray       # (Nxf, Nyf, Nz+1, 3, Ng): down-dir, down-dif, up
     n_launched: jnp.ndarray  # () int32
-    n_steps: jnp.ndarray = jnp.zeros((), jnp.int32)  # while-loop iterations
-    rad_plen: jnp.ndarray = jnp.zeros(())  # (Nxr, Nyr, Ng) pathlength-weighted
-    #                                        radiance (mean path = rad_plen/rad)
+    # scalar python defaults (valid pytree leaves) — eager jnp defaults here
+    # would initialize the XLA backend at import time, which breaks
+    # jax.distributed.initialize() in multi-process runs (must run first)
+    n_steps: jnp.ndarray = 0        # while-loop iterations
+    rad_plen: jnp.ndarray = 0.0     # (Nxr, Nyr, Ng) pathlength-weighted
+    #                                 radiance (mean path = rad_plen/rad)
 
 
 class _State(NamedTuple):

@@ -104,7 +104,7 @@ class FlightCarry(NamedTuple):
 def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                        n_photon: int, key: jax.Array,
                        slab: SlabSpec | None = None, x_off=None,
-                       flux_w=None, rad_w=None):
+                       flux_w=None, rad_w=None, spawn_reserve: int = 0):
     """Build (body, cond, carry0) for the flight transport loop.
 
     With ``slab``: ``scene`` holds this device's x-shard; ``x_off`` is the
@@ -135,6 +135,14 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
     camera = cfg.sensor_type == 'camera'
     if camera:
         nxr = nyr = cfg.cam_npix
+    elif slab is not None and radiance:
+        # decomposed radiance deposits into the GLOBAL image (psum-reduced
+        # by the driver): slant sensors and IPA project deposit pixels
+        # across slab boundaries, and the tilted-column local estimate
+        # needs only the event's LOCAL voxel column for its 3D attenuation
+        # (tau3_above below), so a global tally is the only cross-slab
+        # coupling local estimation has
+        nxr, nyr = slab.nx_global, st.ny
     else:
         nxr, nyr = st.nx, st.ny
     # flux targets: tally every level crossing of each analytic flight in
@@ -396,10 +404,18 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         dead = ~c.alive
         quota = n_photon - c.launched
         order = jnp.cumsum(dead.astype(jnp.int32))
-        spawn = dead & (order <= quota)
+        # spawn_reserve (decomposed runs): keep a few dead lanes unspawned
+        # each iteration so the migration swap always has landing capacity —
+        # otherwise the launch quota races migration for every freed slot
+        # and emigrant lanes starve frozen at the slab faces
+        spawn = dead & (order > spawn_reserve) \
+            & (order - spawn_reserve <= quota) if spawn_reserve \
+            else dead & (order <= quota)
         launched = c.launched + jnp.sum(spawn.astype(jnp.int32))
         if strat_launch:
-            idx = (c.launched + order - 1).astype(jnp.uint32)
+            # rank among SPAWNING lanes (order is the rank among dead lanes;
+            # the first spawn_reserve dead lanes are withheld, so subtract)
+            idx = (c.launched + order - spawn_reserve - 1).astype(jnp.uint32)
             # (idx % n + off) * stride % n: bijective per n_cell block;
             # stride*n < 2^32 so the uint32 product never wraps
             cell = ((idx + q_off) % q_ncell) * q_stride % q_ncell
@@ -971,11 +987,23 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                 if camera:
                     pidx = cam_px * nyr + cam_py
                 elif st.ipa:
-                    pidx = ix0 * nyr + iy0
+                    if slab is None:
+                        pidx = ix0 * nyr + iy0
+                    else:
+                        ix_g = ix0 + jnp.round(x_off / st.dx).astype(jnp.int32)
+                        pidx = ix_g * nyr + iy0
                 else:
-                    xp = x - sx / mu_s * z
+                    # slant projection onto the TOA image plane wraps
+                    # periodically in BOTH axes, consistent with the
+                    # periodic transport domain (a clamped x would pile
+                    # boundary-crossing deposits onto the edge pixels and
+                    # diverge from the decomposed global image)
+                    xp = (x - sx / mu_s * z) % lx_glob
                     yp = (y - sy / mu_s * z) % ly
-                    pidx = local_ix(xp) * nyr \
+                    gix = jnp.clip(
+                        jnp.floor(xp / st.dx).astype(jnp.int32),
+                        0, nx_glob - 1)
+                    pidx = gix * nyr \
                         + jnp.floor(yp / st.dy).astype(jnp.int32) % nyr
                 if 'deposit' in ablate:
                     # profiling: drop the image scatter entirely (a pidx=0
@@ -1019,6 +1047,17 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         wmax = wsc * jnp.exp(labs[ng])
         need_rr = active & (wmax < cfg.rr_wmin)
         p_surv = jnp.clip(wmax / cfg.rr_wmin, 0.0, 1.0)
+        if cfg.rr_value > 0 and radiance and not camera:
+            # sensor-importance roulette (SolverConfig.rr_value): the
+            # photon's future deposits scale like wmax times its escape
+            # probability toward the sensor, ~1/(1+tau_v) for a conservative
+            # slab (Milne); tau_sens_sig/tau3_above are already computed for
+            # the local estimate, so the value costs two elementwise ops
+            tau_v = (tau_sens_sig + tau3_above) * mu_s
+            p_val = jnp.clip((wmax / ((1.0 + tau_v) * cfg.rr_value)),
+                             0.05, 1.0)
+            need_rr = need_rr | (active & (p_val < 1.0))
+            p_surv = jnp.minimum(p_surv, p_val)
         die = need_rr & (u[8] > p_surv)
         wsc = jnp.where(need_rr & ~die, wsc / jnp.maximum(p_surv, 1e-12), wsc)
         alive = alive & ~die

@@ -89,14 +89,11 @@ class Result:
 
 
 def _decomp_capable(cfg):
-    """Configs transport_decomp supports (see its NotImplementedError gates:
-    dist/decomp.py) — camera sensors, slant radiance and pathlength need the
-    whole scene on every device, which is the photon-parallel path."""
-    if cfg.sensor_type == 'camera' or cfg.pathlength:
-        return False
-    if cfg.target == 'radiance' and abs(cfg.sensor_zenith) > 1e-6:
-        return False
-    return True
+    """Configs transport_decomp supports (see its NotImplementedError gate:
+    dist/decomp.py) — only pathlength statistics are not carried through
+    photon migration; slant/camera radiance decompose via global psum'd
+    images (the tilted-column local estimate needs only the local slab)."""
+    return not cfg.pathlength
 
 
 def _single_run(scene, static, cfg, n_photon, seed, chunk=4_000_000,
@@ -137,9 +134,9 @@ def _single_run(scene, static, cfg, n_photon, seed, chunk=4_000_000,
             if dict(mesh.shape).get('x', 1) > 1:
                 from ..util.logger import get_logger
                 get_logger().info(
-                    'solve: config (camera/slant/pathlength) is not '
-                    'decomposable; routing to photon-parallel replication '
-                    'over the full mesh')
+                    'solve: config (pathlength) is not decomposable; '
+                    'routing to photon-parallel replication over the '
+                    'full mesh')
             from ..dist.photon import transport_photon_parallel
 
             def runner(scene, static, cfg, n_c, seed):

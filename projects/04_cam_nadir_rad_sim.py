@@ -75,13 +75,24 @@ def main_pre(args):
         cer_true = np.where(cot_true > 0, 10.0, 0.0)
         rad_obs = _simulate(cot_true, cer_true, args, mode='3d', seed=99)
 
-    # IPA retrieval curve (reference func_ref_vs_cot / cdata_cot_cam)
-    from er3t_tpu.apps.lut import func_ref_vs_cot
+    # Per-pixel IPA retrieval curve (reference func_ref_vs_cot_multi_pixel,
+    # mca/util.py:218 — the variant the reference's camera pipeline uses:
+    # small multi-pixel scenes per COT node, Nrun statistics, cubic
+    # inversion); --fast-curve falls back to the single-IPA-scene variant
     atm = _atm()
-    curve = func_ref_vs_cot(atm, wavelength=args.wavelength, cer0=10.0,
-                            solar_zenith_angle=args.sza,
-                            surface_albedo=args.albedo,
-                            photons=max(args.photons / 4, 2e5), seed=3)
+    if getattr(args, 'fast_curve', False):
+        from er3t_tpu.apps.lut import func_ref_vs_cot
+        curve = func_ref_vs_cot(atm, wavelength=args.wavelength, cer0=10.0,
+                                solar_zenith_angle=args.sza,
+                                surface_albedo=args.albedo,
+                                photons=max(args.photons / 4, 2e5), seed=3)
+    else:
+        from er3t_tpu.apps.lut import func_ref_vs_cot_multi_pixel
+        curve = func_ref_vs_cot_multi_pixel(
+            np.concatenate([[0.0], np.logspace(-1, np.log10(60), 16)]),
+            atm=atm, wavelength=args.wavelength, cer0=10.0,
+            solar_zenith_angle=args.sza, surface_albedo=args.albedo,
+            photons=max(args.photons / 8, 1e5), n_run=2, seed=3)
     ab = abs_synthetic(args.wavelength, atm)
     mu0 = np.cos(np.deg2rad(args.sza))
     toa = float(np.sum(ab.solar * ab.weight))

@@ -77,6 +77,11 @@ def main():
         'cf05':     (SolverConfig(**base, cf_dtau=0.5), scene, st),
         'split05':  (SolverConfig(**base, split_wmax=0.5), scene, st),
         'firstdep': (SolverConfig(**base, ablate='firstdep'), scene, st),
+        'rr03':     (SolverConfig(**base, rr_value=0.03), scene, st),
+        'rr05':     (SolverConfig(**base, rr_value=0.05), scene, st),
+        'rr10':     (SolverConfig(**base, rr_value=0.10), scene, st),
+        'rr05qmc':  (SolverConfig(**base, rr_value=0.05, qmc_launch=True),
+                     scene, st),
     }
     if args.configs:
         names = args.configs.split(',')
