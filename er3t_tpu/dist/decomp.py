@@ -48,28 +48,12 @@ import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from ..rtm.mc import SolverConfig, Tallies
-from ..rtm.mc_flight import FlightCarry, SlabSpec, make_flight_kernel
+from ..rtm.mc_flight import (FlightCarry, SlabSpec, lane_matrix,
+                             lanes_from_matrix, make_flight_kernel)
 
 __all__ = ['transport_decomp']
 
 _F = jnp.float32
-
-
-def _pack(c: FlightCarry) -> jnp.ndarray:
-    """Lane state -> (B, F) float matrix (ints fit exactly in f32)."""
-    cols = [c.x, c.y, c.z, c.ux, c.uy, c.uz, c.wsc, c.tau,
-            c.nscat.astype(_F), c.ix0.astype(_F), c.iy0.astype(_F),
-            c.alive.astype(_F), c.plen, c.direct.astype(_F)]
-    return jnp.concatenate([jnp.stack(cols, axis=1), c.labs.T], axis=1)
-
-
-def _unpack(m: jnp.ndarray, c: FlightCarry) -> FlightCarry:
-    return c._replace(
-        x=m[:, 0], y=m[:, 1], z=m[:, 2], ux=m[:, 3], uy=m[:, 4], uz=m[:, 5],
-        wsc=m[:, 6], tau=m[:, 7], nscat=m[:, 8].astype(jnp.int32),
-        ix0=m[:, 9].astype(jnp.int32), iy0=m[:, 10].astype(jnp.int32),
-        alive=m[:, 11] > 0.5, plen=m[:, 12], direct=m[:, 13] > 0.5,
-        labs=m[:, 14:].T)
 
 
 def transport_decomp(scene, st, cfg: SolverConfig, n_photon: int, mesh,
@@ -97,6 +81,10 @@ def transport_decomp(scene, st, cfg: SolverConfig, n_photon: int, mesh,
     st_loc = dataclasses.replace(st, nx=nx_loc)
     slab = SlabSpec(nx_global=st.nx, nx_local=nx_loc)
     B = cfg.batch
+    # migration packs int lane state (nscat, ix0, iy0) into float32 rows —
+    # exact only below 2^24 (advisor r3)
+    assert st.nx * st.ny < 2 ** 24 and cfg.n_scat_max < 2 ** 24, \
+        'photon migration packs int lane state into float32 (exact < 2^24)'
     M = window or max(B // 4, 1)
     if spawn_reserve is None:
         # landing capacity per swap that respawn may not consume; only
@@ -139,11 +127,18 @@ def transport_decomp(scene, st, cfg: SolverConfig, n_photon: int, mesh,
             spawn_reserve=spawn_reserve)
         lx_loc = nx_loc * st.dx
 
-        alive_col = 11   # _pack column of the alive flag
+        # above the deck top, lanes roam across slabs (1D data is
+        # replicated) and must NOT be shipped — only frozen lanes (at/below
+        # deck top out of slab) migrate.  Per-column flux disables roaming
+        # (see mc_flight.roam_above_deck), so everything out-of-slab ships.
+        roam = radiance or not cfg.flux_per_column
+        zd_top = scene_loc.z_lev[st.iz3l + st.nz3]
 
         def migrate_dir(c: FlightCarry, ring_fwd, ring_rev, target_fn):
             t_slab = jnp.floor(c.x / lx_loc).astype(jnp.int32) % n_dev
             emig = c.alive & (t_slab == target_fn(me))
+            if roam:
+                emig = emig & (c.z <= zd_top)
             dead = ~c.alive
             # dead first, emigrants second, active-in-slab last — active
             # lanes can then never be exported by construction
@@ -161,7 +156,8 @@ def transport_decomp(scene, st, cfg: SolverConfig, n_photon: int, mesh,
                 cap_nb = jax.lax.ppermute(cap, axis_name='x', perm=ring_rev)
                 ship = jnp.minimum(jnp.minimum(n_emig, M), cap_nb)
                 cap = n_dead + ship
-            m = _pack(c)
+            m, spec = lane_matrix(c)
+            alive_col = spec['alive'][0]
             j = jnp.arange(M)
             src = perm[jnp.clip(n_dead + j, 0, B - 1)]
             out_win = jnp.where((j < ship)[:, None], m[src], 0.0)
@@ -174,13 +170,14 @@ def transport_decomp(scene, st, cfg: SolverConfig, n_photon: int, mesh,
                 jnp.where(j < ship, 0.0, m[src, alive_col]))
             dst = perm[jnp.clip(j, 0, B - 1)]
             m = m.at[dst].set(jnp.where((j < n_in)[:, None], in_win, m[dst]))
-            return _unpack(m, c)
+            return lanes_from_matrix(m, c, spec)
 
         def superstep(state):
             c, r = state
             c = jax.lax.fori_loop(0, k_super, lambda i, cc: body(cc), c)
-            c = migrate_dir(c, ring_r, ring_l, lambda me: (me + 1) % n_dev)
-            c = migrate_dir(c, ring_l, ring_r, lambda me: (me - 1) % n_dev)
+            if n_dev > 1:      # a 1-slab ring would only reshuffle lanes
+                c = migrate_dir(c, ring_r, ring_l, lambda me: (me + 1) % n_dev)
+                c = migrate_dir(c, ring_l, ring_r, lambda me: (me - 1) % n_dev)
             return (c, r + 1)
 
         def cond(state):
@@ -225,11 +222,14 @@ def transport_decomp(scene, st, cfg: SolverConfig, n_photon: int, mesh,
                 1, 1, nlev, 3, st.ng)
             flux = jax.lax.psum(jax.lax.psum(flux, 'x'), 'b')
             flux = flux.at[:, :, st.nz, 0, :].add(launched.astype(_F))
-        return Tallies(rad=rad, flux=flux, n_launched=launched, n_steps=steps)
+        ab = jax.lax.psum(jax.lax.psum(c.absorbed, 'x'), 'b')
+        return Tallies(rad=rad, flux=flux, n_launched=launched,
+                       n_steps=steps, absorbed=ab)
 
     flux_spec = P('x') if (not radiance and cfg.flux_per_column) else P()
     out_specs = Tallies(rad=P() if radiance else P('x'), flux=flux_spec,
-                        n_launched=P(), n_steps=P(), rad_plen=P())
+                        n_launched=P(), n_steps=P(), rad_plen=P(),
+                        absorbed=P())
     fn = jax.jit(jax.shard_map(worker, mesh=mesh,
                                in_specs=(in_specs, P(), P()),
                                out_specs=out_specs, check_vma=False))

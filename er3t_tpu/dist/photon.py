@@ -54,20 +54,22 @@ def transport_photon_parallel(scene, st, cfg: SolverConfig, n_photon: int,
                                    flux_w=fw_loc if use_fw else None,
                                    rad_w=rw_loc if use_rw else None)
             rad, flux, n = tal.rad, tal.flux, tal.n_launched
-            n_s, rpl = tal.n_steps, tal.rad_plen
+            n_s, rpl, ab = tal.n_steps, tal.rad_plen, tal.absorbed
             for a in axis_names:
                 rad = jax.lax.psum(rad, a)
                 flux = jax.lax.psum(flux, a)
                 n = jax.lax.psum(n, a)
                 n_s = jax.lax.psum(n_s, a)
                 rpl = jax.lax.psum(rpl, a)
+                ab = jax.lax.psum(ab, a)
             return Tallies(rad=rad, flux=flux, n_launched=n, n_steps=n_s,
-                           rad_plen=rpl)
+                           rad_plen=rpl, absorbed=ab)
 
         return jax.shard_map(
             worker, mesh=mesh,
             in_specs=(P(), P(), P()),
-            out_specs=Tallies(rad=P(), flux=P(), n_launched=P(), n_steps=P(), rad_plen=P()),
+            out_specs=Tallies(rad=P(), flux=P(), n_launched=P(), n_steps=P(),
+                              rad_plen=P(), absorbed=P()),
             check_vma=False,
         )(scene, fw, rw)
 

@@ -207,6 +207,9 @@ class Tallies(NamedTuple):
     n_steps: jnp.ndarray = 0        # while-loop iterations
     rad_plen: jnp.ndarray = 0.0     # (Nxr, Nyr, Ng) pathlength-weighted
     #                                 radiance (mean path = rad_plen/rad)
+    absorbed: jnp.ndarray = 0.0     # (Nz, Ng) per-layer absorbed energy
+    #                                 (flight kernel, domain-average flux
+    #                                 runs — the direct heating-rate tally)
 
 
 class _State(NamedTuple):
@@ -586,6 +589,19 @@ def transport(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         z = jnp.where(hit_sfc, 0.0, z)
         tau = jnp.where(hit_sfc, -jnp.log(u[:, 7]), tau)
         l = jnp.where(hit_sfc, 0, jnp.where(exit_toa, l, l_new))
+
+        if cfg.target != 'radiance':
+            # upward crossing AT the surface level for reflected photons:
+            # the next marching step from l=0 going up first tallies level
+            # 1, silently dropping the surface up-flux (f_up[0] was 0 for
+            # any reflecting surface — round-4 energy-closure find); tally
+            # it here with the post-reflection weight
+            fidx0 = ((fix * nyf + fiy) * nlev + 0) * 3 + 2
+            wf0 = w_full(wsc, S)
+            sub0 = jax.nn.one_hot(fidx0 % 8, 8, dtype=_F)
+            upd0 = (sub0[:, :, None]
+                    * jnp.where(hit_sfc[:, None], wf0, 0.0)[:, None, :])
+            flux = flux.at[fidx0 // 8].add(upd0.reshape(B, 8 * ng))
 
         # ---------------- termination & Russian roulette ----------------
         alive = alive & ~exit_toa & (nscat < cfg.n_scat_max) & (wsc > 0.0)

@@ -99,6 +99,9 @@ class FlightCarry(NamedTuple):
     rad_pl: jnp.ndarray     # (Nxr*Nyr, Ng) pathlength-weighted deposits
     direct: jnp.ndarray     # (B,) bool — never scattered/reflected
     flux: jnp.ndarray       # (Nxf*Nyf*(Nz+1)*3, Ng) level-crossing tallies
+    absorbed: jnp.ndarray   # (Nz, Ng) per-layer absorbed-energy tally
+    #                         (direct heating-rate estimator, MCARaTS
+    #                         Flx_mhrt role) — (1, 1) when unused
 
 
 def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
@@ -153,6 +156,9 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         else (1, 1)
     nlev = nz + 1
     per_col = nxf * nyf > 1
+    # domain-average flux runs also tally absorbed energy per (layer, g)
+    # directly (the Flx_mhrt heating-rate estimator; see the tally site)
+    tally_absorbed = (not radiance) and not per_col
     kx = int(cfg.flux_kcross) if per_col else 0
     scalar_flux = per_col and kx > 0 and flux_w is not None
     if scalar_flux:
@@ -172,6 +178,12 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
 
     z_lev = scene.z_lev
     dz_lay = z_lev[1:] - z_lev[:-1]
+    # decomposed runs: only the deck z-range [iz3l, iz3l+nz3) is sharded;
+    # above its top the 1D medium is replicated, so (except for per-column
+    # flux tallies, which must accumulate into the local columns) lanes may
+    # roam across slabs there — see the `active` and `clamp_s` blocks
+    zd_top = z_lev[st.iz3l + st.nz3]
+    roam_above_deck = slab is not None and not per_col
     n_aer = scene.sig_aer.shape[1]
     sig_aer_tot = jnp.sum(scene.sig_aer, axis=1)
     sig_1d = scene.sig_ray + sig_aer_tot
@@ -252,6 +264,20 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
     u0y = sin0 * jnp.sin(scene.phi0)
     u0z = -scene.mu0
     z_top = z_lev[-1]
+    # decomposed launch precompensation: the deterministic solar descent
+    # from TOA to deck top drifts (z_top - zd_top) tan(sza) horizontally —
+    # at SZA 30 over a ~17 km clear column that is ~10 km, i.e. several
+    # slab widths, so uncompensated spawns would freeze+migrate at their
+    # very first deck entry almost every launch (measured: the migration
+    # queue starves the launch quota).  Shifting each device's launch
+    # window upwind by that drift keeps first deck entries local; the
+    # shifted windows still partition the domain, so the global launch
+    # distribution stays exactly uniform.  Photons that Rayleigh-scatter
+    # above the deck (few %) roam/migrate as before.
+    if slab is not None and roam_above_deck and not st.ipa:
+        x_drift0 = u0x * (z_top - zd_top) / jnp.maximum(scene.mu0, 1e-6)
+    else:
+        x_drift0 = jnp.zeros((), _F)
 
     if camera:
         cam_z = jnp.asarray(cfg.cam_zloc, _F)
@@ -421,11 +447,13 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
             cell = ((idx + q_off) % q_ncell) * q_stride % q_ncell
             cx = (cell // jnp.uint32(st.ny)).astype(_F)
             cy = (cell % jnp.uint32(st.ny)).astype(_F)
-            x = jnp.where(spawn, x_off + (cx + u[0]) * st.dx, c.x)
-            y = jnp.where(spawn, (cy + u[1]) * st.dy, c.y)
+            x_sp = x_off + (cx + u[0]) * st.dx
+            y_sp = (cy + u[1]) * st.dy
         else:
-            x = jnp.where(spawn, x_off + u[0] * lx_loc, c.x)
-            y = jnp.where(spawn, u[1] * ly, c.y)
+            x_sp = x_off + u[0] * lx_loc
+            y_sp = u[1] * ly
+        x = jnp.where(spawn, (x_sp - x_drift0) % lx_glob, c.x)
+        y = jnp.where(spawn, y_sp, c.y)
         z = jnp.where(spawn, z_top, c.z)
         ux = jnp.where(spawn, u0x, c.ux)
         uy = jnp.where(spawn, u0y, c.uy)
@@ -440,12 +468,25 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         plen = jnp.where(spawn, 0.0, c.plen)
         direct = spawn | c.direct
 
-        # lanes outside the local slab are frozen until migrated
+        # Lanes outside the local slab freeze until migrated — EXCEPT above
+        # the 3D deck top, where the atmosphere is horizontally homogeneous
+        # 1D data replicated on every device: those lanes roam freely and
+        # only clamp when a descending flight would enter the deck z-range
+        # inside a remote slab (see the clamp_s construction below).  Full
+        # clamping at every face crossing made near-horizontal high-altitude
+        # photons take thousands of clamp+migrate cycles to escape (a
+        # single-device run does it in ONE flight) — the dominant
+        # decomposition overhead on broken-cloud scenes.  Per-column flux
+        # targets keep strict clamping: their crossing tallies index the
+        # LOCAL column and may not be accumulated while out of slab.
         if slab is None:
             active = alive
         else:
             in_slab = (x >= x_off) & (x < x_off + lx_loc)
-            active = alive & in_slab
+            if roam_above_deck:
+                active = alive & (in_slab | (z > zd_top))
+            else:
+                active = alive & in_slab
 
         # ---------------- analytic flight through the majorant ----------------
         going_up = uz > 0.0
@@ -509,15 +550,50 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                 can_clamp = can_clamp & (nscat < cfg.p3d_order)
             clampable = clampable | can_clamp
         if slab is not None:
-            s_face_pre = jnp.where(
-                ux > 1e-7, (x_off + lx_loc - x) / ux,
-                jnp.where(ux < -1e-7, (x_off - x) / ux, 1e30))
-            clampable = clampable | (jnp.maximum(s_face_pre, 0.0) < s_exit)
+            def _s_face_from(xq):
+                # distance to the first slab-face crossing, valid for a
+                # point inside the slab
+                return jnp.where(
+                    ux > 1e-7, (x_off + lx_loc - xq) / ux,
+                    jnp.where(ux < -1e-7, (x_off - xq) / ux, 3e37))
+
+            if roam_above_deck:
+                # flights starting above the deck top clamp only at deck
+                # ENTRY: at the entry point itself when it lies in a remote
+                # slab (freeze + migrate there), else at the first face
+                # crossing after the local entry; ascending flights above
+                # the deck never clamp.  In-deck/below starts keep the
+                # plain face clamp (z is monotone along a flight, so a
+                # descending flight below deck top cannot re-enter the
+                # roaming region).
+                starts_above = z > zd_top
+                s_t = jnp.maximum(jnp.where(uz < 0, (zd_top - z) * inv_uz,
+                                            3e37), 0.0)
+                x_t = (x + ux * s_t) % lx_glob
+                in_slab_t = (x_t >= x_off) & (x_t < x_off + lx_loc)
+                clamp_s = jnp.where(
+                    starts_above,
+                    jnp.where(uz < 0,
+                              jnp.where(in_slab_t,
+                                        s_t + jnp.maximum(_s_face_from(x_t),
+                                                          0.0),
+                                        s_t),
+                              3e37),
+                    jnp.maximum(_s_face_from(x), 0.0))
+            else:
+                clamp_s = jnp.maximum(_s_face_from(x), 0.0)
+            clampable = clampable | (clamp_s < s_exit)
 
         if per_col and kx > 0:
             # crossing-count clamp is a clamp too (see zclamp below)
             n_below = jnp.sum((z_lev[None, :] < z[:, None]).astype(jnp.int32), axis=1)
             n_le = jnp.sum((z_lev[None, :] <= z[:, None]).astype(jnp.int32), axis=1)
+            # surface-reflected flights (z exactly 0, going up) must count
+            # the level-0 upward crossing: only zclamp restarts may skip
+            # their starting level (it was tallied by the clamped flight),
+            # and those never restart at z=0 (zclamp is interior-only)
+            up0k = active & going_up & (z <= 0.0)
+            n_le = jnp.where(up0k, 0, n_le)
             n_to_exit = jnp.where(going_up, nz + 1 - n_le, n_below)
             clampable = clampable | (n_to_exit > kx)
 
@@ -552,19 +628,15 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         s_star = jnp.where(active, s_star, 0.0)
 
         if slab is not None:
-            # clamp flights at the slab x-faces: the voxel data beyond the
-            # face lives on the neighbor device, so the lane advances to just
-            # past the face, freezes, and is migrated by the driver
-            s_face = jnp.where(ux > 1e-7, (x_off + lx_loc - x) / ux,
-                               jnp.where(ux < -1e-7, (x_off - x) / ux, 1e30))
-            s_face = jnp.maximum(s_face, 0.0)
-            clamped = active & (s_face < s_star)
-            s_star = jnp.minimum(s_star, s_face)
+            # clamp flights at clamp_s (slab face / remote deck entry — see
+            # the clamp_s construction above): the voxel data beyond lives
+            # on another device, so the lane advances to the clamp point,
+            # freezes, and is migrated by the driver
+            clamped = active & (clamp_s < s_star)
+            s_star = jnp.minimum(s_star, clamp_s)
             collided = collided & ~clamped
-            face_x = jnp.where(ux > 0, x_off + lx_loc, x_off)
         else:
             clamped = jnp.zeros(B, bool)
-            face_x = x
 
         if use_tiles and not st.ipa:
             # clamp flights at the faces of the deck-entry tile, only while
@@ -599,6 +671,9 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
             s_cross_all = (z_lev[None, :] - z[:, None]) * inv_uz[:, None]
             s_k = jnp.einsum('bkl,bl->bk', oh_k, s_cross_all)
             z_k = jnp.einsum('bkl,l->bk', oh_k, z_lev)
+            # the level-0 crossing of a surface-reflected flight sits at
+            # s_k == 0 — admit it alongside the strictly-positive ones
+            pos_ok = (s_k > 0.0) | (up0k[:, None] & (k_iota == 0))
             # stop at the kx-th crossing when it lies strictly inside the
             # flight and strictly inside the domain (boundary crossings
             # terminate the flight through the usual hit_sfc/exit_toa path)
@@ -624,6 +699,7 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         trav = jnp.where(active[None, :], trav, 0.0)   # (Nz, B)
 
         flux = c.flux
+        absorbed = c.absorbed
         term = active & ~collided & ~clamped & ~tclamp & ~zclamp
         if not radiance:
             # flux tallies are scatter/MXU-bound; one transpose each into
@@ -637,7 +713,7 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
             final_k = (zclamp[:, None] & (k_iota == kx - 1)) \
                 | ((term & ~going_up)[:, None] & (lev_k == 0)) \
                 | ((term & going_up)[:, None] & (lev_k == nz))
-            tally_k = active[:, None] & lev_ok & (s_k > 0.0) \
+            tally_k = active[:, None] & lev_ok & pos_ok \
                 & ((s_k < s_star[:, None]) | final_k)
             # gas absorption along the flight to crossing k: layers fully
             # traversed before it (below lev_k going up / above going down),
@@ -660,7 +736,7 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                 a2_k = jnp.dot((mask_k * seg_b[:, None, :]).reshape(B * kx, nz),
                                scene.kabs,
                                preferred_element_type=_F).reshape(B, kx, ng)
-                esc_k = thin[:, None] & lev_ok & (s_k > 0.0)
+                esc_k = thin[:, None] & lev_ok & pos_ok
                 w_k = w_k + ((wsc_pre * jnp.exp(-total_od))[:, None, None]
                              * jnp.exp(labs_bg[:, None, :] - a2_k)
                              * esc_k[:, :, None].astype(_F))
@@ -693,10 +769,17 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
             # so f32 rounding cannot drop or double-count it
             s_cross = (z_lev[None, :] - z[:, None]) * inv_uz[:, None]
             lev_iota = jax.lax.broadcasted_iota(jnp.int32, (B, nlev), 1)
+            # surface-reflected flights start EXACTLY at z=0 going up: their
+            # level-0 upward crossing has s_cross == 0 and must be included
+            # explicitly (it was silently dropped — f_up at the surface
+            # level tallied 0 under any reflecting surface; caught by the
+            # direct absorbed-energy tally's energy closure, round 4)
+            up0 = active & going_up & (z <= 0.0)
             crossed = (active[:, None] & (s_cross > 0.0)
                        & (s_cross < s_star[:, None])) \
                 | ((term & ~going_up)[:, None] & (lev_iota == 0)) \
-                | ((term & going_up)[:, None] & (lev_iota == nz))
+                | ((term & going_up)[:, None] & (lev_iota == nz)) \
+                | (up0[:, None] & (lev_iota == 0))
             # gas absorption accumulated before each crossing: going up,
             # layers below the level are complete; going down, layers above
             ee = trav_b[:, :, None] * scene.kabs[None, :, :]    # (B,Nz,Ng)
@@ -718,6 +801,33 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                 w_x = w_x + ((wsc_pre * jnp.exp(-total_od))[:, None, None]
                              * jnp.exp(labs_bg[:, None, :] - a_up_f)
                              * esc[:, :, None].astype(_F))
+            if nxf * nyf == 1 and tally_absorbed:
+                # ---- direct absorbed-energy tally (MCARaTS Flx_mhrt,
+                # mca_inp.py:129-152): per layer, weight at path entry
+                # minus weight at path exit — the layer's absorbed energy
+                # in closed form per flight.  Estimates the ABSORBED
+                # quantity itself instead of differencing two noisy level
+                # fluxes (VERDICT r3 item 10); layers the flight does not
+                # traverse contribute exactly zero (ee = 0).
+                hb = jnp.where(going_up[:, None, None],
+                               a_up[:, :-1, :], a_dn[:, 1:, :])  # (B,Nz,Ng)
+                ab_l = (wsc[:, None, None]
+                        * jnp.exp(labs_bg[:, None, :] - hb)
+                        * -jnp.expm1(-ee)
+                        * active[:, None, None].astype(_F))
+                if cfg.cf_dtau > 0:
+                    # forced flights: deterministic escape branch absorbs
+                    # along the FULL path with the escape weight
+                    hb_f = jnp.where(going_up[:, None, None],
+                                     a_up_f[:, :-1, :],
+                                     (a_up_f[:, -1:, :] - a_up_f)[:, 1:, :])
+                    ab_l = ab_l + ((wsc_pre * jnp.exp(-total_od))
+                                   [:, None, None]
+                                   * jnp.exp(labs_bg[:, None, :] - hb_f)
+                                   * -jnp.expm1(-ee_f)
+                                   * thin[:, None, None].astype(_F))
+                absorbed = absorbed + jnp.einsum(
+                    'blg->lg', ab_l, preferred_element_type=_F)
             if nxf * nyf == 1:
                 chm = jnp.stack([~going_up & direct, ~going_up & ~direct,
                                  going_up], axis=0).astype(_F)  # (3, B)
@@ -747,10 +857,13 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         if not st.ipa:
             x = jnp.where(active, (x + ux * s_star) % lx_glob, x)
             if slab is not None:
-                # place clamped lanes robustly past the face (f32-safe epsilon)
+                # nudge clamped lanes robustly past the clamp point along
+                # the travel direction (f32-safe epsilon: s_star rounding
+                # must not leave a lane exactly on a face, which would
+                # make slab ownership ambiguous)
                 eps_x = 1e-3 * st.dx
                 x = jnp.where(clamped,
-                              (face_x + jnp.sign(ux) * eps_x) % lx_glob, x)
+                              (x + jnp.sign(ux) * eps_x) % lx_glob, x)
             y = jnp.where(active, (y + uy * s_star) % ly, y)
             if use_tiles:
                 # place tile-clamped lanes robustly past the crossed face
@@ -762,6 +875,14 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                               % lx_glob, x)
                 y = jnp.where(cyt, (yf + jnp.sign(uy) * 1e-3 * st.dy) % ly, y)
         z = jnp.where(active, jnp.clip(z + uz * s_star, 0.0, z_top), z)
+        if slab is not None and roam_above_deck:
+            # descending flights clamped at deck entry must land AT (not
+            # one f32 ulp above) the deck top: a lane left fractionally
+            # above stays an active roamer and re-clamps with an
+            # infinitesimal step forever (measured as zombie lanes holding
+            # the decomposed while-loop at max_rounds)
+            z = jnp.where(clamped & starts_above & (uz < 0.0),
+                          jnp.minimum(z, zd_top), z)
         if kx > 0:
             # crossing-count-clamped lanes stop EXACTLY on the level: the
             # strict (<) / non-strict (<=) level counts above then place the
@@ -1066,7 +1187,8 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                            labs=labs, tau=tau, nscat=nscat, alive=alive,
                            ix0=ix0, iy0=iy0, launched=launched,
                            step=c.step + 1, rad=rad, plen=plen,
-                           rad_pl=rad_pl, direct=direct, flux=flux)
+                           rad_pl=rad_pl, direct=direct, flux=flux,
+                           absorbed=absorbed)
 
     def cond(c: FlightCarry):
         return jnp.any(c.alive) | (c.launched < n_photon)
@@ -1090,8 +1212,64 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
              else jnp.zeros((nxr * nyr, ng), _F)), plen=zB,
         rad_pl=jnp.zeros((n_pl, ng_r), _F),
         direct=jnp.zeros(B, bool),
-        flux=flux0)
+        flux=flux0,
+        absorbed=jnp.zeros((nz, ng) if tally_absorbed else (1, 1), _F))
     return body, cond, carry0
+
+
+# FlightCarry fields that are tallies/counters, NOT per-lane state.  Every
+# other field is packed by lane_matrix below — a future per-lane field is
+# picked up automatically, and a future tally field must be listed here or
+# its shape fails loudly in lane_matrix (advisor r3: the old hand-written
+# field lists would silently leave new per-lane fields unpermuted).
+_NON_LANE_FIELDS = frozenset({'launched', 'step', 'rad', 'rad_pl', 'flux',
+                              'absorbed'})
+
+
+def lane_matrix(c: FlightCarry):
+    """All per-lane state as one (B, F) float32 matrix + column spec.
+
+    One matrix means a lane permutation (sorting) or migration window swap
+    costs ONE row-gather/ppermute instead of ~20 per-array ones.  Int/bool
+    lanes round-trip through float32 — exact for values < 2^24; callers
+    must assert their ranges (see the sort_every/decomp guards).
+    """
+    B = c.x.shape[0]
+    cols, spec, off = [], {}, 0
+    for name, v in zip(c._fields, c):
+        if name in _NON_LANE_FIELDS:
+            continue
+        if getattr(v, 'ndim', None) == 1 and v.shape[0] == B:
+            cols.append(v.astype(_F)[:, None])
+            spec[name] = (off, 1, v.dtype)
+            off += 1
+        elif getattr(v, 'ndim', None) == 2 and v.shape[1] == B:
+            k = v.shape[0]
+            cols.append(v.T.astype(_F))
+            spec[name] = (off, k, v.dtype)
+            off += k
+        else:
+            raise TypeError(
+                f'FlightCarry.{name} (shape {getattr(v, "shape", None)}) is '
+                'not per-lane; add it to _NON_LANE_FIELDS or teach '
+                'lane_matrix how to pack it')
+    return jnp.concatenate(cols, axis=1), spec
+
+
+def lanes_from_matrix(m, c: FlightCarry, spec) -> FlightCarry:
+    """Inverse of :func:`lane_matrix` (restores dtypes per the spec)."""
+    upd = {}
+    for name, (off, k, dt) in spec.items():
+        block = m[:, off:off + k]
+        v = block[:, 0] if k == 1 else block.T
+        if dt == jnp.bool_:
+            v = v > 0.5
+        elif jnp.issubdtype(dt, jnp.integer):
+            v = jnp.round(v).astype(dt)
+        else:
+            v = v.astype(dt)
+        upd[name] = v
+    return c._replace(**upd)
 
 
 def _sort_lanes(c: FlightCarry, st: SceneStatic) -> FlightCarry:
@@ -1103,27 +1281,16 @@ def _sort_lanes(c: FlightCarry, st: SceneStatic) -> FlightCarry:
     ~3.7x cheaper than uniform-random ones (BENCH_NOTES round-3 cost
     model).  Dead lanes sort to the END: the respawn block assigns them
     sequential stratified cells (launch_coherent), so the new photons are
-    born coherent too.  Lane state is packed into one (B, F) matrix so the
-    permutation costs ONE row-gather instead of ~20 lane-array gathers.
+    born coherent too.
     """
-    _f = c.x.dtype
     key = jnp.where(
         c.alive,
         jnp.clip(jnp.floor(c.x / st.dx).astype(jnp.int32), 0, st.nx - 1)
         * st.ny + jnp.floor(c.y / st.dy).astype(jnp.int32) % st.ny,
         jnp.int32(st.nx * st.ny))
     perm = jnp.argsort(key)
-    m = jnp.concatenate(
-        [jnp.stack([c.x, c.y, c.z, c.ux, c.uy, c.uz, c.wsc, c.tau, c.plen,
-                    c.nscat.astype(_f), c.ix0.astype(_f), c.iy0.astype(_f),
-                    c.alive.astype(_f), c.direct.astype(_f)], axis=1),
-         c.labs.T], axis=1)[perm]
-    return c._replace(
-        x=m[:, 0], y=m[:, 1], z=m[:, 2], ux=m[:, 3], uy=m[:, 4], uz=m[:, 5],
-        wsc=m[:, 6], tau=m[:, 7], plen=m[:, 8],
-        nscat=m[:, 9].astype(jnp.int32), ix0=m[:, 10].astype(jnp.int32),
-        iy0=m[:, 11].astype(jnp.int32), alive=m[:, 12] > 0.5,
-        direct=m[:, 13] > 0.5, labs=m[:, 14:].T)
+    m, spec = lane_matrix(c)
+    return lanes_from_matrix(m[perm], c, spec)
 
 
 def transport_flight(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
@@ -1140,6 +1307,11 @@ def transport_flight(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         return cond(c) & (c.step < max_steps)
 
     if cfg.sort_every > 0:
+        # int lanes (nscat, ix0, iy0) round-trip through float32 in the
+        # sort's packed matrix — exact only below 2^24 (advisor r3)
+        assert st.nx * st.ny < 2 ** 24 and cfg.n_scat_max < 2 ** 24, \
+            'sort_every packs int lane state into float32 (exact < 2^24)'
+
         # sort + a fixed block of steps per outer trip; the while cond is
         # checked at block granularity (a <=sort_every-1 step overshoot in
         # the drain tail — harmless, tallies ignore dead lanes)
@@ -1176,7 +1348,7 @@ def transport_flight(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
     return Tallies(rad=out.rad.reshape(nxr, nyr, ng_r),
                    flux=flux,
                    n_launched=out.launched, n_steps=out.step,
-                   rad_plen=rad_plen)
+                   rad_plen=rad_plen, absorbed=out.absorbed)
 
 
 def run_transport_flight(scene, static, cfg, n_photon, seed=0, rng_impl='rbg',

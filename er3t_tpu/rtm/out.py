@@ -144,7 +144,9 @@ def heating_rate(flux: dict, atm):
 
     HR = dF_net/dz / (rho cp); the energy absorbed in a layer divided by its
     air heat capacity (the reference obtains this from MCARaTS's Flx_mhrt=1
-    target; mca_inp.py:129-152).
+    target; mca_inp.py:129-152).  Prefer :func:`heating_rate_from_absorbed`
+    when the direct tally is available — differencing two noisy level
+    fluxes carries ~2x their variance into a small difference.
     """
     f_net = flux['f_down'] - flux['f_up']                       # (..., Nlev)
     d_fnet = f_net[..., 1:] - f_net[..., :-1]                   # absorbed per layer
@@ -152,3 +154,21 @@ def heating_rate(flux: dict, atm):
     dz_m = atm.lay.thickness * 1000.0
     rho = atm.lay.pressure * 100.0 / (287.0 * atm.lay.temperature)
     return d_fnet / (rho * cp * dz_m) * 86400.0
+
+
+def heating_rate_from_absorbed(absorbed_tally, n_launched, abs_coef, mu0,
+                               atm, date=None):
+    """Heating rate [K/day] from the kernel's direct per-layer absorbed
+    tally (mc_flight ``tally_absorbed`` — the Flx_mhrt estimator): the
+    same photon normalization and factor chain as the flux tallies, then
+    the layer heat-capacity conversion."""
+    nz, ng = np.asarray(absorbed_tally).shape
+    factors, _ = spectral_factors(abs_coef, date=date, nz_out=nz + 1)
+    # per-layer factors: use the level factors of the layer bottoms (the
+    # slit columns are layer-resolved already; nz_out=nz+1 pads the TOA row)
+    abs_phys = (np.asarray(absorbed_tally) * factors[:nz]).sum(axis=1) \
+        * (mu0 / max(n_launched, 1))                        # W/m^2/nm per layer
+    cp = 1004.0
+    dz_m = atm.lay.thickness * 1000.0
+    rho = atm.lay.pressure * 100.0 / (287.0 * atm.lay.temperature)
+    return abs_phys / (rho * cp * dz_m) * 86400.0

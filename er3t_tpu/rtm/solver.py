@@ -149,7 +149,7 @@ def _single_run(scene, static, cfg, n_photon, seed, chunk=4_000_000,
                                         flux_w=flux_w, rad_w=rad_w)
     else:
         runner = mc.run_transport
-    rad = flux = rad_pl = None
+    rad = flux = rad_pl = absd = None
     n_total = 0
     n_failed = 0
     remaining = int(n_photon)
@@ -166,6 +166,7 @@ def _single_run(scene, static, cfg, n_photon, seed, chunk=4_000_000,
                 tal = tal._replace(rad=np.asarray(tal.rad),
                                    flux=np.asarray(tal.flux),
                                    rad_plen=np.asarray(tal.rad_plen),
+                                   absorbed=np.asarray(tal.absorbed),
                                    n_launched=int(tal.n_launched))
                 break
             except Exception as e:
@@ -179,6 +180,7 @@ def _single_run(scene, static, cfg, n_photon, seed, chunk=4_000_000,
         else:
             rad = tal.rad if rad is None else rad + tal.rad
             flux = tal.flux if flux is None else flux + tal.flux
+            absd = tal.absorbed if absd is None else absd + tal.absorbed
             if cfg.pathlength:
                 rad_pl = tal.rad_plen if rad_pl is None \
                     else rad_pl + tal.rad_plen
@@ -194,7 +196,7 @@ def _single_run(scene, static, cfg, n_photon, seed, chunk=4_000_000,
             'solve: run completed with a deficit of %.3g photons '
             '(%.3g launched); results are normalized by the launched count',
             n_failed, n_total)
-    return rad, flux, n_total, rad_pl
+    return rad, flux, n_total, rad_pl, absd
 
 
 def solve(atm=None, abs_coef=None, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
@@ -273,7 +275,9 @@ def solve(atm=None, abs_coef=None, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
     if batch is None:
         batch = 1 << 17 if jax.default_backend() != 'cpu' else 1 << 14
     if flux_per_column is None:
-        flux_per_column = static.has_3d
+        # per-column tallies by default on 3D scenes — except heating rate,
+        # whose direct absorbed-energy tally is domain-average
+        flux_per_column = static.has_3d and target != 'heating_rate'
     cam = dict(xpos=0.5, ypos=0.5, zloc=0.0, phi=0.0, the=0.0, psi=0.0,
                qmax=89.0, npix=64, apsize=0.0)
     if camera:
@@ -337,7 +341,7 @@ def solve(atm=None, abs_coef=None, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
     n_eff = 0
     for r in range(n_run):
         if spectral == 'correlated':
-            rad_t, flux_t, n_l, rad_pl = _single_run(
+            rad_t, flux_t, n_l, rad_pl, absd = _single_run(
                 scene, static, cfg, n_photon, seed + 1000003 * r,
                 chunk=chunk, mesh=mesh, flux_w=flux_w_arr, rad_w=rad_w_arr)
             n_eff += n_l
@@ -354,6 +358,12 @@ def solve(atm=None, abs_coef=None, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
             else:
                 red = out.reduce_flux(flux_t, n_l, abs_coef, mu0, date=date,
                                       precontracted=flux_w_arr is not None)
+                if (target == 'heating_rate' and absd is not None
+                        and np.ndim(absd) == 2 and np.asarray(absd).size > 1):
+                    # direct absorbed-energy estimator (Flx_mhrt role) —
+                    # measurably lower noise than differencing level fluxes
+                    red['hr'] = out.heating_rate_from_absorbed(
+                        absd, n_l, abs_coef, mu0, atm, date=date)
             if pathlength and target == 'radiance':
                 with np.errstate(invalid='ignore', divide='ignore'):
                     w = abs_coef.weight
@@ -375,7 +385,7 @@ def solve(atm=None, abs_coef=None, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
     std = {k + '_std': np.std([p[k] for p in per_run], axis=0) for k in keys}
     toa = per_run[0]['toa']
 
-    if target == 'heating_rate':
+    if target == 'heating_rate' and 'hr' not in data:
         data['hr'] = out.heating_rate(data, atm)
 
     if diffusion > 0:
@@ -405,9 +415,9 @@ def _independent_g_run(scene, static, cfg, atm, abs_coef, target,
     for g in range(ng):
         scene_g = scene._replace(kabs=scene.kabs[:, g:g + 1])
         static_g = _dc.replace(static, ng=1)
-        rad_t, flux_t, n_l, _ = _single_run(scene_g, static_g, cfg,
-                                            int(dist[g]), seed + g,
-                                            chunk=chunk, mesh=mesh)
+        rad_t, flux_t, n_l, _, _ = _single_run(scene_g, static_g, cfg,
+                                               int(dist[g]), seed + g,
+                                               chunk=chunk, mesh=mesh)
         n_total += n_l
         # scale per-g tallies to the common budget normalization
         wsc = 1.0 / max(n_l, 1)

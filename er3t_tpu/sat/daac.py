@@ -18,7 +18,8 @@ import numpy as np
 
 __all__ = ['earthdata_token', 'geometa_url', 'parse_geometa',
            'find_granules', 'granules_over_extent', 'swath_lonlat_utc',
-           'download_url', 'download_laads_https',
+           'download_url', 'download_laads_https', 'download_nsidc_https',
+           'download_oco2_https', 'list_remote_dir',
            'worldview_image_url', 'worldview_image_fname', 'SAT_TAGS']
 
 
@@ -411,6 +412,144 @@ def oco2_url(dtime: datetime.datetime, dataset_tag: str, granule: str,
     doy = dtime.timetuple().tm_yday
     return (f'{server}{fdir_prefix}/{dataset_tag}/{dtime.year}/{doy:03d}/'
             f'{granule}')
+
+
+def list_remote_dir(url: str, token: str | None = None,
+                    html_text: str | None = None) -> list:
+    """File names listed on an HTTPS archive index page.
+
+    The reference's NSIDC/OCO-2 downloaders scrape the server directory
+    listing to discover granule names (daac.py:1560-1610, 1700-1720); this
+    is the shared scraper.  ``html_text`` injects a page for offline tests.
+    """
+    import re
+    if html_text is None:
+        import requests
+        headers = {}
+        tok = token or earthdata_token()
+        if tok:
+            headers['Authorization'] = f'Bearer {tok}'
+        r = requests.get(url, headers=headers, timeout=120)
+        r.raise_for_status()
+        html_text = r.text
+    names = re.findall(r'href="([^"?/][^"?]*)"', html_text)
+    # drop navigation links and duplicates, keep order
+    seen, out = set(), []
+    for n in names:
+        if n.startswith(('..', 'http', '#')) or n.endswith('/'):
+            continue
+        if n not in seen:
+            seen.add(n)
+            out.append(n)
+    return out
+
+
+def _granule_hhmm(name: str):
+    """datetime.time from an .AYYYYDDD.HHMM. style granule name, else None."""
+    import re
+    m = re.search(r'\.A\d{7}\.(\d{2})(\d{2})\.', name)
+    if m:
+        return datetime.time(int(m.group(1)), int(m.group(2)))
+    return None
+
+
+def download_nsidc_https(date, extent=None, product_dict=None,
+                         filename_tags=None, fdir_out='tmp-data',
+                         data_format=None, run=True, start_dt_hhmm=None,
+                         end_dt_hhmm=None, token=None, html_text=None,
+                         server='https://n5eil01u.ecs.nsidc.org'):
+    """Download NSIDC granules for a date (reference download_nsidc_https,
+    daac.py:1514-1628): list the archive day directory, filter by filename
+    tags / format / acquisition-time window, download + validity-check.
+    ``run=False`` returns the target URLs (offline with ``html_text``).
+
+    ``product_dict``: {'short_name': e.g. 'MOD29', 'version': '61'}.
+    """
+    import os
+    product_dict = product_dict or {'short_name': 'MOD29', 'version': '61'}
+    short = product_dict['short_name']
+    version = str(product_dict.get('version', '61'))
+    sat_dir = {'MOD': 'MOST', 'MYD': 'MOSA', 'VNP': 'VIIRS',
+               'VJ1': 'VIIRS'}.get(short[:3], 'MOST')
+    dir_url = (f'{server}/{sat_dir}/{short}.{version.zfill(3)}/'
+               f'{date:%Y.%m.%d}/')
+    names = list_remote_dir(dir_url, token=token, html_text=html_text)
+    if isinstance(filename_tags, str):
+        filename_tags = [filename_tags]
+    picked = []
+    for n in names:
+        if data_format and not n.endswith(data_format.lstrip('.')):
+            continue
+        if filename_tags and not all(t in n for t in filename_tags):
+            continue
+        t = _granule_hhmm(n)
+        if t is not None and (start_dt_hhmm or end_dt_hhmm):
+            t0 = start_dt_hhmm.time() if start_dt_hhmm else datetime.time(0, 0)
+            t1 = end_dt_hhmm.time() if end_dt_hhmm else datetime.time(23, 59)
+            if not (t0 <= t <= t1):
+                continue
+        picked.append(n)
+    urls = [dir_url + n for n in picked]
+    if not run:
+        return urls
+    os.makedirs(fdir_out, exist_ok=True)
+    out = []
+    for u in urls:
+        fn = download_url(u, fdir_out, token=token)
+        if fn and final_file_check(fn, data_format=data_format):
+            out.append(fn)
+    return out
+
+
+_OCO2_DEEP_TAGS = ('OCO2_L2_Met', 'OCO2_L2_Standard', 'OCO2_L1B_Science',
+                   'OCO2_L1B_Calibration', 'OCO2_L2_CO2Prior',
+                   'OCO2_L2_IMAPDOAS', 'OCO2_L2_Diagnostic')
+_OCO2_LITE_TAGS = ('OCO2_L2_Lite_FP', 'OCO2_L2_Lite_SIF')
+
+
+def download_oco2_https(dtime, dataset_tag, fnames=None,
+                        server='https://oco2.gesdisc.eosdis.nasa.gov',
+                        fdir_prefix='/data/OCO2_DATA', fdir_out='tmp-data',
+                        data_format=None, run=True, token=None,
+                        html_text=None):
+    """Download OCO-2 granules (reference download_oco2_https,
+    daac.py:1629-1766): the deep products live under year/doy directories,
+    the Lite products under year only; files are discovered from the server
+    listing and filtered by format.  ``fnames`` restricts to specific
+    granule names; ``run=False`` returns URLs (offline with ``html_text``).
+    """
+    import os
+    year = f'{dtime.year:04d}'
+    doy = f'{dtime.timetuple().tm_yday:03d}'
+    base = dataset_tag.split('.')[0]
+    if base in _OCO2_DEEP_TAGS:
+        fdir_data = f'{fdir_prefix}/{dataset_tag}/{year}/{doy}'
+    elif base in _OCO2_LITE_TAGS:
+        fdir_data = f'{fdir_prefix}/{dataset_tag}/{year}'
+    else:
+        raise ValueError(
+            f'download_oco2_https: unsupported dataset {dataset_tag!r}')
+    dir_url = f'{server}{fdir_data}/'
+    names = list_remote_dir(dir_url, token=token, html_text=html_text)
+    picked = []
+    for n in names:
+        if n.endswith('.xml'):
+            continue
+        if data_format and not n.endswith(data_format.lstrip('.')):
+            continue
+        if fnames and n not in fnames:
+            continue
+        picked.append(n)
+    urls = [dir_url + n for n in picked]
+    if not run:
+        return urls
+    os.makedirs(fdir_out, exist_ok=True)
+    out = []
+    for u in urls:
+        fn = download_url(u, fdir_out, token=token)
+        if fn and final_file_check(fn, data_format=data_format):
+            out.append(fn)
+    return out
 
 
 def final_file_check(fname: str, data_format=None, verbose=False) -> bool:

@@ -237,47 +237,147 @@ class modis_l1b:
 
 
 class modis_l2:
-    """MOD06_L2 cloud optical properties -> gridded cot/cer maps."""
+    """MOD06_L2 cloud optical properties with the reference's full QA chain.
+
+    Depth parity with ``er3t.util.modis.modis_l2`` (modis.py:582-855):
+
+    * ``cop_flag`` selects the retrieval family (e.g. ``'1621'``);
+    * cloud-phase QA: ``Cloud_Phase_Optical_Properties`` is read (ctp);
+      negative/fill retrievals and phase-0 pixels are reset to clear sky,
+      phase-1 (clear) pixels with zero retrievals stay clear;
+    * PCL fill-in: pixels the standard retrieval calls clear but the
+      partially-cloudy (``_PCL``) retrieval calls cloudy take the PCL
+      values and are tagged in ``pcl``;
+    * relative uncertainties are converted to absolute
+      (``cot * cot_err / 100``);
+    * ``vnames=`` reads arbitrary extra variables at their native 1 km or
+      5 km resolution (the reference's ``read_vars``).
+    """
 
     ID = 'MODIS L2 Cloud'
 
-    def __init__(self, fnames, extent=None, nx=None, ny=None):
-        lons, lats, cots, cers, cths = [], [], [], [], []
+    def __init__(self, fnames, extent=None, nx=None, ny=None, vnames=(),
+                 cop_flag=''):
+        sfx = f'_{cop_flag}' if cop_flag else ''
+        cols = {k: [] for k in ('lon', 'lat', 'cot', 'cer', 'cwp', 'cth',
+                                'ctp', 'pcl', 'cot_err', 'cer_err',
+                                'cwp_err')}
+        extra = {v: [] for v in vnames}
         for fname in np.atleast_1d(fnames):
             f = open_any(fname)
             try:
                 lon, _ = f.var('Longitude')
                 lat, _ = f.var('Latitude')
-                cot, a1 = f.var('Cloud_Optical_Thickness')
-                cer, a2 = f.var('Cloud_Effective_Radius')
-                cth, a3 = f.var('Cloud_Top_Height')
-                cot = apply_scaling(cot, a1)
-                cer = apply_scaling(cer, a2)
-                cth = apply_scaling(cth, a3) / 1000.0
+
+                def rd(name, default=None):
+                    try:
+                        d, a = f.var(name)
+                    except Exception:
+                        return default
+                    return apply_scaling(d, a)
+
+                cot = rd(f'Cloud_Optical_Thickness{sfx}')
+                cer = rd(f'Cloud_Effective_Radius{sfx}')
+                cwp = rd(f'Cloud_Water_Path{sfx}')
+                cth = rd('Cloud_Top_Height')
+                ctp = rd('Cloud_Phase_Optical_Properties')
+                cot_pcl = rd(f'Cloud_Optical_Thickness{sfx}_PCL')
+                cer_pcl = rd(f'Cloud_Effective_Radius{sfx}_PCL')
+                cwp_pcl = rd(f'Cloud_Water_Path{sfx}_PCL')
+                cot_err = rd(f'Cloud_Optical_Thickness_Uncertainty{sfx}')
+                cer_err = rd(f'Cloud_Effective_Radius_Uncertainty{sfx}')
+                cwp_err = rd(f'Cloud_Water_Path_Uncertainty{sfx}')
+                if cot is None:
+                    raise KeyError(f'Cloud_Optical_Thickness{sfx} missing '
+                                   f'in {fname}')
+                zeros = np.zeros_like(cot)
+                cer = zeros if cer is None else cer
+                cwp = zeros if cwp is None else cwp
+                cth = zeros if cth is None else cth
+                ctp = np.full(cot.shape, 2, np.int16) if ctp is None \
+                    else np.nan_to_num(ctp, nan=0).astype(np.int16)
+                cot_err = zeros if cot_err is None else cot_err
+                cer_err = zeros if cer_err is None else cer_err
+                cwp_err = zeros if cwp_err is None else cwp_err
+
                 # COT/CER are 1km; lon/lat in MOD06 are 5km — upsample
                 from ..util.grid import upscale_2d
                 if lon.shape != cot.shape:
                     fy = int(round(cot.shape[0] / lon.shape[0]))
                     fx = int(round(cot.shape[1] / lon.shape[1]))
-                    lon = upscale_2d(lon, (fy, fx))[:cot.shape[0], :cot.shape[1]]
-                    lat = upscale_2d(lat, (fy, fx))[:cot.shape[0], :cot.shape[1]]
+                    lon = upscale_2d(lon, (fy, fx))[:cot.shape[0],
+                                                    :cot.shape[1]]
+                    lat = upscale_2d(lat, (fy, fx))[:cot.shape[0],
+                                                    :cot.shape[1]]
+
+                cot = np.nan_to_num(cot, nan=-1.0)
+                cer = np.nan_to_num(cer, nan=-1.0)
+                cwp = np.nan_to_num(cwp, nan=-1.0)
+                cth = np.nan_to_num(cth, nan=0.0) / 1000.0
+                pcl = np.zeros(cot.shape, np.uint8)
+                # invalid retrievals (negative/fill or undetermined phase)
+                # reset to clear sky (modis.py:752-762)
+                bad = (cot < 0) | (cer < 0) | (cwp < 0) | (ctp == 0)
+                for arr in (cot, cer, cwp, cot_err, cer_err, cwp_err):
+                    arr[bad] = 0.0
+                # clear-phase pixels with empty retrievals stay clear
+                clear = ((cot == 0) | (cer == 0) | (cwp == 0)) & (ctp == 1)
+                cot[clear] = 0.0
+                cer[clear] = 0.0
+                cwp[clear] = 0.0
+                # PCL fill-in (modis.py:770-782): standard-clear pixels the
+                # PCL retrieval calls cloudy take the PCL values
+                if cot_pcl is not None and cer_pcl is not None:
+                    cot_pcl = np.nan_to_num(cot_pcl, nan=-1.0)
+                    cer_pcl = np.nan_to_num(cer_pcl, nan=-1.0)
+                    cwp_pcl = np.nan_to_num(
+                        cwp_pcl if cwp_pcl is not None else cot_pcl,
+                        nan=-1.0)
+                    fill = ((cot == 0) | (cer == 0) | (cwp == 0)) \
+                        & (cot_pcl > 0) & (cer_pcl > 0) & (cwp_pcl > 0)
+                    pcl[fill] = 1
+                    cot[fill] = cot_pcl[fill]
+                    cer[fill] = cer_pcl[fill]
+                    cwp[fill] = cwp_pcl[fill]
+
                 sel = _subset(lon, lat, extent)
-                lons.append(lon[sel]); lats.append(lat[sel])
-                cots.append(cot[sel]); cers.append(cer[sel]); cths.append(cth[sel])
+                for key, arr in (('lon', lon), ('lat', lat), ('cot', cot),
+                                 ('cer', cer), ('cwp', cwp), ('cth', cth),
+                                 ('ctp', ctp), ('pcl', pcl),
+                                 ('cot_err', cot * cot_err / 100.0),
+                                 ('cer_err', cer * cer_err / 100.0),
+                                 ('cwp_err', cwp * cwp_err / 100.0)):
+                    cols[key].append(arr[sel])
+                for v in vnames:
+                    d = rd(v)
+                    if d is None:
+                        continue
+                    if d.shape == cot.shape:
+                        extra[v].append(np.nan_to_num(d)[sel])
+                    else:
+                        extra[v].append(np.nan_to_num(d).ravel())
             finally:
                 f.close()
-        lon = np.concatenate(lons); lat = np.concatenate(lats)
-        cot = np.nan_to_num(np.concatenate(cots), nan=0.0)
-        cer = np.nan_to_num(np.concatenate(cers), nan=0.0)
-        cth = np.nan_to_num(np.concatenate(cths), nan=0.0)
+        merged = {k: np.concatenate(v) for k, v in cols.items() if v}
+        lon, lat = merged['lon'], merged['lat']
         self.data = {
             'lon': _entry(lon, 'Longitude', 'deg'),
             'lat': _entry(lat, 'Latitude', 'deg'),
-            'cot': _entry(cot, 'Cloud optical thickness'),
-            'cer': _entry(cer, 'Cloud effective radius', 'um'),
-            'cth': _entry(cth, 'Cloud top height', 'km'),
+            'cot': _entry(merged['cot'], 'Cloud optical thickness'),
+            'cer': _entry(merged['cer'], 'Cloud effective radius', 'um'),
+            'cwp': _entry(merged['cwp'], 'Cloud water path', 'g/m^2'),
+            'cth': _entry(merged['cth'], 'Cloud top height', 'km'),
+            'ctp': _entry(merged['ctp'], 'Cloud phase (optical properties)'),
+            'pcl': _entry(merged['pcl'], 'PCL tag (1: partly cloudy fill)'),
+            'cot_err': _entry(merged['cot_err'], 'COT uncertainty'),
+            'cer_err': _entry(merged['cer_err'], 'CER uncertainty', 'um'),
+            'cwp_err': _entry(merged['cwp_err'], 'CWP uncertainty', 'g/m^2'),
         }
+        for v, chunks in extra.items():
+            if chunks:
+                self.data[v.lower()] = _entry(np.concatenate(chunks), v)
         if extent is not None:
+            cot, cer, cth = merged['cot'], merged['cer'], merged['cth']
             lon2, lat2, cot2 = grid_by_extent(lon, lat, cot, extent, nx=nx, ny=ny)
             _, _, cer2 = grid_by_extent(lon, lat, cer, extent, nx=nx, ny=ny)
             _, _, cth2 = grid_by_extent(lon, lat, cth, extent, nx=nx, ny=ny)

@@ -284,6 +284,12 @@ void mc_ref_run(
           ux = sr2 * std::cos(psi); uy = sr2 * std::sin(psi); uz = mu_r;
           z = 0.0; l = 0;
           tau = -std::log(rng.u_open());
+          // upward crossing AT the surface level with the reflected
+          // weight: the next marching step would first tally level 1,
+          // silently dropping the surface up-flux (same fix as the JAX
+          // kernels, round 4)
+          for (int g = 0; g < ng; ++g)
+            oflux[(0 * 3 + 2) * ng + g] += wsc * w[g];
         } else if (l >= nz) {
           alive = false;
         }

@@ -533,3 +533,101 @@ def test_modis_l1b_band_validation(tmp_path):
         modis_l1b([fn], band=31)      # emissive not in the QKM product
     with pytest.raises(ValueError):
         modis_l1b([str(tmp_path / 'MYD02XYZ.A2019226.h5')], band=1)
+
+
+def test_modis_l2_qa_phase_pcl(tmp_path):
+    """modis_l2 QA depth (reference modis.py:582-855): phase-0/negative
+    retrievals reset to clear, PCL fill-in tags pixels, uncertainties
+    converted from relative to absolute."""
+    from er3t_tpu.sat.modis import modis_l2
+
+    fname = str(tmp_path / 'MOD06_L2.synthetic.h5')
+    n = 10
+    lon = np.linspace(-60.0, -59.0, n)[None, :].repeat(n, axis=0)
+    lat = np.linspace(10.0, 11.0, n)[:, None].repeat(n, axis=1)
+    cot = np.full((n, n), 8.0)
+    cer = np.full((n, n), 12.0)
+    cwp = np.full((n, n), 50.0)
+    ctp = np.full((n, n), 2, np.int16)          # liquid
+    cot[0, 0] = -1.0                            # invalid -> clear
+    ctp[0, 1] = 0                               # undetermined -> clear
+    cot[1, 0] = 0.0; cer[1, 0] = 0.0; cwp[1, 0] = 0.0; ctp[1, 0] = 1  # clear
+    # a PCL-fill pixel: standard clear, PCL cloudy
+    cot[2, 2] = 0.0; cer[2, 2] = 0.0; cwp[2, 2] = 0.0
+    cot_pcl = np.zeros((n, n)); cer_pcl = np.zeros((n, n))
+    cwp_pcl = np.zeros((n, n))
+    cot_pcl[2, 2] = 5.0; cer_pcl[2, 2] = 9.0; cwp_pcl[2, 2] = 30.0
+    with h5py.File(fname, 'w') as f:
+        f['Longitude'] = lon
+        f['Latitude'] = lat
+        f['Cloud_Optical_Thickness'] = cot
+        f['Cloud_Effective_Radius'] = cer
+        f['Cloud_Water_Path'] = cwp
+        f['Cloud_Top_Height'] = np.full((n, n), 2000.0)
+        f['Cloud_Phase_Optical_Properties'] = ctp
+        f['Cloud_Optical_Thickness_PCL'] = cot_pcl
+        f['Cloud_Effective_Radius_PCL'] = cer_pcl
+        f['Cloud_Water_Path_PCL'] = cwp_pcl
+        f['Cloud_Optical_Thickness_Uncertainty'] = np.full((n, n), 10.0)
+        f['Cloud_Effective_Radius_Uncertainty'] = np.full((n, n), 5.0)
+        f['Cloud_Water_Path_Uncertainty'] = np.full((n, n), 20.0)
+        f['Extra_QA'] = np.arange(n * n, dtype=np.float32).reshape(n, n)
+    m = modis_l2(fname, vnames=('Extra_QA',))
+    d = {k: m.data[k]['data'].reshape(n, n) for k in
+         ('cot', 'cer', 'cwp', 'pcl', 'cot_err', 'cer_err')}
+    assert d['cot'][0, 0] == 0.0 and d['cer'][0, 0] == 0.0   # invalid reset
+    assert d['cot'][0, 1] == 0.0                             # phase 0 reset
+    assert d['cot'][1, 0] == 0.0 and d['pcl'][1, 0] == 0     # clear stays
+    assert d['pcl'][2, 2] == 1                               # PCL fill-in
+    assert d['cot'][2, 2] == 5.0 and d['cer'][2, 2] == 9.0
+    assert d['cwp'][2, 2] == 30.0
+    # absolute uncertainties: cot*err/100
+    assert d['cot_err'][5, 5] == pytest.approx(8.0 * 10.0 / 100.0)
+    assert d['cer_err'][5, 5] == pytest.approx(12.0 * 5.0 / 100.0)
+    assert 'extra_qa' in m.data and m.data['extra_qa']['data'].size == n * n
+
+
+def test_nsidc_oco2_downloaders_offline():
+    """Full NSIDC/OCO-2 downloader logic (reference daac.py:1514,1629)
+    driven offline through injected index pages: directory layout, tag /
+    format / time-window filtering."""
+    from er3t_tpu.sat.daac import (download_nsidc_https, download_oco2_https,
+                                   list_remote_dir)
+
+    html = '''<html><a href="../">up</a>
+    <a href="MOD29.A2019237.0355.061.h5">x</a>
+    <a href="MOD29.A2019237.0400.061.h5">x</a>
+    <a href="MOD29.A2019237.0400.061.h5">dup</a>
+    <a href="MOD29.A2019237.1200.061.h5">x</a>
+    <a href="MOD29.A2019237.0400.061.h5.xml">meta</a>
+    <a href="browse/">dir</a></html>'''
+    names = list_remote_dir('http://x/', html_text=html)
+    assert names == ['MOD29.A2019237.0355.061.h5',
+                     'MOD29.A2019237.0400.061.h5',
+                     'MOD29.A2019237.1200.061.h5',
+                     'MOD29.A2019237.0400.061.h5.xml']
+
+    d = datetime.date(2019, 8, 25)
+    urls = download_nsidc_https(
+        d, product_dict={'short_name': 'MOD29', 'version': '61'},
+        filename_tags='A2019237', data_format='h5', run=False,
+        start_dt_hhmm=datetime.datetime(2019, 8, 25, 3, 0),
+        end_dt_hhmm=datetime.datetime(2019, 8, 25, 5, 0), html_text=html)
+    assert len(urls) == 2                      # 0355 + 0400; 1200 excluded
+    assert urls[0].startswith(
+        'https://n5eil01u.ecs.nsidc.org/MOST/MOD29.061/2019.08.25/')
+
+    html_oco = '''<a href="oco2_L2StdND_26301a_190806_B10004r.h5">x</a>
+    <a href="oco2_L2StdND_26301a_190806_B10004r.h5.xml">m</a>'''
+    dt = datetime.datetime(2019, 8, 6, 4, 0)
+    u = download_oco2_https(dt, 'OCO2_L2_Standard.11r', run=False,
+                            data_format='h5', html_text=html_oco)
+    assert u == ['https://oco2.gesdisc.eosdis.nasa.gov/data/OCO2_DATA/'
+                 'OCO2_L2_Standard.11r/2019/218/'
+                 'oco2_L2StdND_26301a_190806_B10004r.h5']
+    # Lite products: year-level directory
+    u2 = download_oco2_https(dt, 'OCO2_L2_Lite_FP.11.1r', run=False,
+                             html_text=html_oco)
+    assert '/OCO2_L2_Lite_FP.11.1r/2019/oco2' in u2[0]
+    with pytest.raises(ValueError, match='unsupported'):
+        download_oco2_https(dt, 'OCO2_Bogus.1r', run=False, html_text=html_oco)

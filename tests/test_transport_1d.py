@@ -119,8 +119,8 @@ def test_heating_rate(atm20):
     res = solver.solve(atm=atm20, abs_coef=ab, surface=0.0, target='hr',
                        solar_zenith_angle=0.0, photons=30000, n_run=1,
                        batch=1 << 12)
-    hr = res['hr'][0, 0]
-    assert hr.shape == (20,)
+    hr = np.asarray(res['hr'])
+    assert hr.shape == (20,)      # direct absorbed-energy tally (r4)
     assert np.all(np.isfinite(hr))
     # absorption -> positive heating somewhere, modest magnitudes
     assert hr.max() > 0
