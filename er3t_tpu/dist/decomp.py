@@ -134,11 +134,28 @@ def transport_decomp(scene, st, cfg: SolverConfig, n_photon: int, mesh,
         roam = radiance or not cfg.flux_per_column
         zd_top = scene_loc.z_lev[st.iz3l + st.nz3]
 
-        def migrate_dir(c: FlightCarry, ring_fwd, ring_rev, target_fn):
+        def migrate_dir(c: FlightCarry, ring_fwd, ring_rev, go_right):
+            # relay routing: a frozen lane may be SEVERAL slabs from home
+            # (roaming lanes clamp at their remote deck entry, which can be
+            # anywhere) — ship it one hop along the shorter ring direction;
+            # still-remote arrivals re-freeze and relay next superstep.
+            # (Matching only the immediate neighbor left multi-hop lanes
+            # stranded forever once roaming landed — n>=4 rings pinned at
+            # max_rounds.)
             t_slab = jnp.floor(c.x / lx_loc).astype(jnp.int32) % n_dev
-            emig = c.alive & (t_slab == target_fn(me))
+            d_r = (t_slab - me) % n_dev          # hops to the right
+            frozen = c.alive & (d_r != 0)
             if roam:
-                emig = emig & (c.z <= zd_top)
+                frozen = frozen & (c.z <= zd_top)
+            # halfway targets are eligible BOTH ways (a lane ships at most
+            # once per swap — the first shipment vacates it), so capacity
+            # left over after the right swap is usable in the same
+            # superstep; one-directional eligibility measured a 14x drain
+            # slowdown on 2-slab rings (half the bandwidth, spiraling)
+            if go_right:
+                emig = frozen & (d_r <= n_dev // 2)
+            else:
+                emig = frozen & (d_r >= (n_dev + 1) // 2)
             dead = ~c.alive
             # dead first, emigrants second, active-in-slab last — active
             # lanes can then never be exported by construction
@@ -163,21 +180,32 @@ def transport_decomp(scene, st, cfg: SolverConfig, n_photon: int, mesh,
             out_win = jnp.where((j < ship)[:, None], m[src], 0.0)
             in_win = jax.lax.ppermute(out_win, axis_name='x', perm=ring_fwd)
             n_in = jax.lax.ppermute(ship, axis_name='x', perm=ring_fwd)
-            # vacate shipped rows, then host the incoming prefix in the
+            # Vacate shipped rows, then host the incoming prefix in the
             # dead/vacated region perm[0 : n_dead + ship] (n_in is bounded
-            # by the capacity we advertised, so every row fits)
-            m = m.at[src, alive_col].set(
-                jnp.where(j < ship, 0.0, m[src, alive_col]))
-            dst = perm[jnp.clip(j, 0, B - 1)]
-            m = m.at[dst].set(jnp.where((j < n_in)[:, None], in_win, m[dst]))
-            return lanes_from_matrix(m, c, spec)
+            # by the capacity we advertised, so every row fits).  Inactive
+            # window slots are routed to a DUMP row (index B) so every
+            # scatter index writes one constant value: masking them with
+            # stale gathered values instead made the clipped duplicate
+            # indices (clip hits perm[B-1] whenever n_dead + j >= B, i.e.
+            # throughout the drain phase) race the genuine vacate write —
+            # last-writer-wins could resurrect a shipped lane, CLONING the
+            # photon (observed as a self-sustaining zombie population and
+            # a +1-2% energy bias).
+            pad = jnp.zeros((1, m.shape[1]), m.dtype)
+            m2 = jnp.concatenate([m, pad])
+            src_w = jnp.where(j < ship, src, B)
+            m2 = m2.at[src_w, alive_col].set(0.0)
+            dst_w = jnp.where(j < n_in, perm[jnp.clip(j, 0, B - 1)], B)
+            m2 = m2.at[dst_w].set(
+                jnp.where((j < n_in)[:, None], in_win, 0.0))
+            return lanes_from_matrix(m2[:B], c, spec)
 
         def superstep(state):
             c, r = state
             c = jax.lax.fori_loop(0, k_super, lambda i, cc: body(cc), c)
             if n_dev > 1:      # a 1-slab ring would only reshuffle lanes
-                c = migrate_dir(c, ring_r, ring_l, lambda me: (me + 1) % n_dev)
-                c = migrate_dir(c, ring_l, ring_r, lambda me: (me - 1) % n_dev)
+                c = migrate_dir(c, ring_r, ring_l, go_right=True)
+                c = migrate_dir(c, ring_l, ring_r, go_right=False)
             return (c, r + 1)
 
         def cond(state):

@@ -548,6 +548,16 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
             can_clamp = active & (s_tile < sd_out)
             if cfg.p3d_order > 0:
                 can_clamp = can_clamp & (nscat < cfg.p3d_order)
+            if slab is not None:
+                # the tile-majorant gather clamps local_ix at the slab edge,
+                # so for a roaming lane whose deck entry lies in a REMOTE
+                # slab the tile faces are bogus — such flights must take the
+                # slab clamp at deck entry instead (a bogus tclamp superseded
+                # it and could spin with zero progress forever; measured as
+                # zombie lanes pinning the decomposed loop at max_rounds)
+                xe_w = xe_u % lx_glob
+                can_clamp = can_clamp & (xe_w >= x_off) \
+                    & (xe_w < x_off + lx_loc)
             clampable = clampable | can_clamp
         if slab is not None:
             def _s_face_from(xq):
