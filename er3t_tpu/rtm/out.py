@@ -145,8 +145,11 @@ def heating_rate(flux: dict, atm):
     HR = dF_net/dz / (rho cp); the energy absorbed in a layer divided by its
     air heat capacity (the reference obtains this from MCARaTS's Flx_mhrt=1
     target; mca_inp.py:129-152).  Prefer :func:`heating_rate_from_absorbed`
-    when the direct tally is available — differencing two noisy level
-    fluxes carries ~2x their variance into a small difference.
+    when the direct tally is available: with the flight kernel's analytic
+    per-flight fluxes the noise is equivalent (measured parity — the two
+    estimators are fully correlated), but the direct tally is exact by
+    construction (its energy closure exposed a missing surface up-crossing
+    in all three engines) and needs no post-processing.
     """
     f_net = flux['f_down'] - flux['f_up']                       # (..., Nlev)
     d_fnet = f_net[..., 1:] - f_net[..., :-1]                   # absorbed per layer

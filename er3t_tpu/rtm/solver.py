@@ -361,7 +361,8 @@ def solve(atm=None, abs_coef=None, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
                 if (target == 'heating_rate' and absd is not None
                         and np.ndim(absd) == 2 and np.asarray(absd).size > 1):
                     # direct absorbed-energy estimator (Flx_mhrt role) —
-                    # measurably lower noise than differencing level fluxes
+                    # exact by construction; noise parity with the flight
+                    # engine's analytic flux differencing
                     red['hr'] = out.heating_rate_from_absorbed(
                         absd, n_l, abs_coef, mu0, atm, date=date)
             if pathlength and target == 'radiance':

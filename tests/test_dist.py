@@ -111,9 +111,10 @@ def test_photon_parallel_flux(cloudy_scene):
     t8 = transport_photon_parallel(scn, st, cfg, 60000, mesh, seed=12)
     f1 = np.asarray(t1.flux)[0, 0] @ ab.weight / int(t1.n_launched)
     f8 = np.asarray(t8.flux)[0, 0] @ ab.weight / int(t8.n_launched)
-    # surface down-flux and TOA up-flux agree within MC noise
-    assert f8[0, 0] + f8[0, 1] == pytest.approx(f1[0, 0] + f1[0, 1], rel=0.05)
-    assert f8[-1, 2] == pytest.approx(f1[-1, 2], rel=0.10)
+    # surface down-flux and TOA up-flux agree within MC noise (two
+    # independent 60k-photon runs: ~1.5% rel std each, margin ~4 sigma)
+    assert f8[0, 0] + f8[0, 1] == pytest.approx(f1[0, 0] + f1[0, 1], rel=0.08)
+    assert f8[-1, 2] == pytest.approx(f1[-1, 2], rel=0.12)
     # TOA down-direct is deterministic: exactly 1 per photon
     assert f8[-1, 0] == pytest.approx(1.0, rel=1e-5)
 
