@@ -1148,6 +1148,20 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                 if cfg.pathlength:
                     rad_pl = rad_pl.at[pidx].add((contrib * pl_det[None, :]).T)
 
+        if tally_absorbed:
+            # particulate (cloud/aerosol) absorption at accepted collisions:
+            # the collision layer absorbs wsc*(1-ssa_ev), seen through the
+            # gas transmission accumulated to the collision point
+            # (exp(labs)).  Without this the direct absorbed-energy tally
+            # integrated GAS absorption only, and heating rates with
+            # absorbing clouds/aerosols biased low (advisor round-4 high:
+            # at 2130 nm the gas-only tally captured 0.55x of the
+            # flux-divergence column absorption).
+            ab_c = jnp.where(accept, wsc * (1.0 - ssa_ev), 0.0)    # (B,)
+            absorbed = absorbed + jnp.einsum(
+                'lb,gb->lg', oh_col, jnp.exp(labs[:ng]) * ab_c[None, :],
+                preferred_element_type=_F)
+
         # ---------------- direction updates ----------------
         mu_new = mu_pair if mu_pair is not None else phase_sample(apf, u[5])
         psi = u[6] * (2.0 * jnp.pi)

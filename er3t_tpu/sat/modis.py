@@ -330,15 +330,24 @@ class modis_l2:
                 if cot_pcl is not None and cer_pcl is not None:
                     cot_pcl = np.nan_to_num(cot_pcl, nan=-1.0)
                     cer_pcl = np.nan_to_num(cer_pcl, nan=-1.0)
-                    cwp_pcl = np.nan_to_num(
-                        cwp_pcl if cwp_pcl is not None else cot_pcl,
-                        nan=-1.0)
+                    has_cwp_pcl = cwp_pcl is not None
+                    if has_cwp_pcl:
+                        cwp_pcl = np.nan_to_num(cwp_pcl, nan=-1.0)
                     fill = ((cot == 0) | (cer == 0) | (cwp == 0)) \
-                        & (cot_pcl > 0) & (cer_pcl > 0) & (cwp_pcl > 0)
+                        & (cot_pcl > 0) & (cer_pcl > 0)
+                    if has_cwp_pcl:
+                        fill &= cwp_pcl > 0
                     pcl[fill] = 1
                     cot[fill] = cot_pcl[fill]
                     cer[fill] = cer_pcl[fill]
-                    cwp[fill] = cwp_pcl[fill]
+                    if has_cwp_pcl:
+                        cwp[fill] = cwp_pcl[fill]
+                    else:
+                        # CWP_PCL absent: derive LWP = 2/3 rho_w COT CER
+                        # (g/m^2; CER in um) instead of writing COT values
+                        # into the cwp field (advisor round-4 low)
+                        cwp[fill] = (2.0 / 3.0 * cot_pcl[fill]
+                                     * cer_pcl[fill])
 
                 sel = _subset(lon, lat, extent)
                 for key, arr in (('lon', lon), ('lat', lat), ('cot', cot),

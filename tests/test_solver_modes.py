@@ -461,6 +461,47 @@ def test_heating_rate_direct_tally(atm):
                                + 1e-8, rtol=1.0)
 
 
+def test_heating_rate_absorbing_cloud_closure(atm):
+    """Energy closure of the direct tally with PARTICULATE absorption
+    (advisor round-4 high): droplets with ssa<1 absorb weight at accepted
+    collisions, which the gas-path-only tally missed entirely — heating
+    rates with absorbing clouds biased low (0.55x at 2130 nm).  Window
+    wavelength + ssa=0.90 cloud makes particulate absorption the dominant
+    term, so the closure fails by ~2x without the collision deposit."""
+    from er3t_tpu.pre.cld import cld_gen_hom
+    from er3t_tpu.pre.pha import pha_hg
+    from er3t_tpu.rtm import out as out_mod
+
+    p = pha_hg(asy_params=(0.85,))
+    p.data['ssa'] = np.array([0.90])
+    ab = abs_synthetic(650.0, atm)            # window: gas abs ~ 0
+    cld = cld_gen_hom(nx=4, ny=4, dx=1.0, dy=1.0, cot0=6.0, cer0=10.0,
+                      cloud_base=1.0, cloud_top=3.0)
+    res = solver.solve(atm=atm, abs_coef=ab, cld=cld, pha=p,
+                       target='heating_rate', surface=0.2,
+                       solar_zenith_angle=30.0, photons=2e5, n_run=1,
+                       seed=11)
+    hr = np.asarray(res['hr'])
+    lay_z = atm.lay.altitude
+    in_cld = (lay_z >= 1.0) & (lay_z <= 3.0)
+    # in-cloud heating dominates (droplet absorption, not gas)
+    assert hr[in_cld].sum() > 3.0 * max(hr[~in_cld].sum(), 1e-12)
+    # column energy closure vs the same run's flux divergence
+    cp, rd = 1004.0, 287.0
+    dz_m = atm.lay.thickness * 1000.0
+    rho = atm.lay.pressure * 100.0 / (rd * atm.lay.temperature)
+    col_direct = float(np.sum(hr / 86400.0 * rho * cp * dz_m))
+    f_dn = np.asarray(res['f_down'])[0, 0]
+    f_up = np.asarray(res['f_up'])[0, 0]
+    col_diff = float((f_dn[-1] - f_up[-1]) - (f_dn[0] - f_up[0]))
+    assert col_direct == pytest.approx(col_diff, rel=0.05)
+    # and the hr field actually came from the direct tally
+    hr_diff = out_mod.heating_rate(
+        {'f_down': f_dn[None, None], 'f_up': f_up[None, None]}, atm)[0, 0]
+    np.testing.assert_allclose(hr, hr_diff, atol=0.08 * max(hr.max(), 1e-6)
+                               + 1e-8, rtol=1.0)
+
+
 @pytest.mark.slow
 def test_heating_rate_direct_lower_noise(atm):
     """The direct tally's seed spread matches flux differencing at worst
