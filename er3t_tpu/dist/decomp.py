@@ -74,9 +74,6 @@ def transport_decomp(scene, st, cfg: SolverConfig, n_photon: int, mesh,
         raise ValueError('nx must divide the decomposition axis')
     radiance = cfg.target == 'radiance'
     camera = cfg.sensor_type == 'camera'
-    if cfg.pathlength:
-        raise NotImplementedError(
-            'pathlength statistics are not carried through photon migration')
     nx_loc = st.nx // n_dev
     st_loc = dataclasses.replace(st, nx=nx_loc)
     slab = SlabSpec(nx_global=st.nx, nx_local=nx_loc)
@@ -251,8 +248,17 @@ def transport_decomp(scene, st, cfg: SolverConfig, n_photon: int, mesh,
             flux = jax.lax.psum(jax.lax.psum(flux, 'x'), 'b')
             flux = flux.at[:, :, st.nz, 0, :].add(launched.astype(_F))
         ab = jax.lax.psum(jax.lax.psum(c.absorbed, 'x'), 'b')
+        if radiance and cfg.pathlength:
+            # pathlength-weighted image: global like rad (the per-lane
+            # `plen` odometer rides the migration pack automatically via
+            # lane_matrix; deposits land in the global image) — one psum
+            nxr, nyr = (cfg.cam_npix,) * 2 if camera else (st.nx, st.ny)
+            rad_pl = jax.lax.psum(jax.lax.psum(c.rad_pl, 'x'), 'b').reshape(
+                nxr, nyr, st.ng)
+        else:
+            rad_pl = jnp.zeros(())
         return Tallies(rad=rad, flux=flux, n_launched=launched,
-                       n_steps=steps, absorbed=ab)
+                       n_steps=steps, rad_plen=rad_pl, absorbed=ab)
 
     flux_spec = P('x') if (not radiance and cfg.flux_per_column) else P()
     out_specs = Tallies(rad=P() if radiance else P('x'), flux=flux_spec,

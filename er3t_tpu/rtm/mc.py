@@ -179,6 +179,18 @@ class SolverConfig:
     #                                     cheaper gathers for clustered
     #                                     indices, BENCH_NOTES round-3 cost
     #                                     model).  Overrides qmc_launch's map.
+    drain_compact: bool = True         # flight kernel: once the launch
+    #                                     quota is exhausted and survivors
+    #                                     fit, compact lanes into an 8x
+    #                                     (then 64x) smaller batch for the
+    #                                     drain tail (stragglers random-
+    #                                     walking in thick clouds).  Exact
+    #                                     (states permuted, fresh RNG
+    #                                     substreams); cuts the 200-7000
+    #                                     step tail's cost ~8-64x since
+    #                                     ms/step is linear in batch.
+    #                                     Ignored with sort_every>0 or
+    #                                     batch<8192 (see transport_flight)
     sort_every: int = 0                # >0: every N steps re-sort the photon
     #                                     lanes by their current voxel column
     #                                     so spatial coherence (see

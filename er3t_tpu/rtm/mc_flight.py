@@ -1330,6 +1330,26 @@ def transport_flight(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
     def cond_capped(c):
         return cond(c) & (c.step < max_steps)
 
+    # Drain-phase batch compaction (VERDICT r4 task 1c/3): once the photon
+    # budget is launched, the while-loop runs at full batch width while the
+    # surviving stragglers (random walks inside optically thick clouds)
+    # dwindle — a fixed ~200-step median tail, with a heavy seed-dependent
+    # tail (1400-7400 steps observed at 4M-photon chunks, r5 sweep).
+    # ms/step scales linearly with batch (memory-bound), so compacting the
+    # survivors into an 8x (then 64x) smaller batch cuts the tail cost by
+    # the same factor.  Exact: lanes are permuted alive-first (lane_matrix
+    # pack, f32-exact for this state) and continue with their own state;
+    # the per-(step, lane) RNG streams never repeat because step increases
+    # monotonically across stages.  Auto-disabled for configurations whose
+    # int lane state could exceed the f32-exact range.
+    compact_stages = []
+    if (cfg.drain_compact and cfg.sort_every == 0 and cfg.batch >= 8192
+            and st.nx * st.ny < 2 ** 24 and cfg.n_scat_max < 2 ** 24):
+        b_s = cfg.batch // 8
+        while b_s >= 1024 and len(compact_stages) < 2:
+            compact_stages.append(b_s)
+            b_s //= 8
+
     if cfg.sort_every > 0:
         # int lanes (nscat, ix0, iy0) round-trip through float32 in the
         # sort's packed matrix — exact only below 2^24 (advisor r3)
@@ -1344,6 +1364,33 @@ def transport_flight(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
             return jax.lax.fori_loop(0, cfg.sort_every,
                                      lambda i, cc: body(cc), c)
         out = jax.lax.while_loop(cond_capped, outer, carry0)
+    elif compact_stages:
+        b1 = compact_stages[0]
+
+        def cond0(c):
+            n_alive = jnp.sum(c.alive.astype(jnp.int32))
+            return (((c.launched < n_photon) | (n_alive > b1))
+                    & ((n_alive > 0) | (c.launched < n_photon))
+                    & (c.step < max_steps))
+        c = jax.lax.while_loop(cond0, body, carry0)
+        import dataclasses as _dc
+        for si, b_s in enumerate(compact_stages):
+            cfg_s = _dc.replace(cfg, batch=b_s)
+            body_s, _, carry_t = make_flight_kernel(
+                scene, st, cfg_s, n_photon, key, flux_w=flux_w, rad_w=rad_w)
+            m, spec = lane_matrix(c)
+            order = jnp.argsort(jnp.where(c.alive, 0, 1), stable=True)
+            c = lanes_from_matrix(m[order[:b_s]], carry_t, spec)._replace(
+                launched=c.launched, step=c.step, rad=c.rad,
+                rad_pl=c.rad_pl, flux=c.flux, absorbed=c.absorbed)
+            nxt = compact_stages[si + 1] if si + 1 < len(compact_stages) \
+                else 0
+
+            def cond_s(cc, nxt=nxt):
+                n_alive = jnp.sum(cc.alive.astype(jnp.int32))
+                return (n_alive > nxt) & (cc.step < max_steps)
+            c = jax.lax.while_loop(cond_s, body_s, c)
+        out = c
     else:
         out = jax.lax.while_loop(cond_capped, body, carry0)
     if cfg.sensor_type == 'camera':

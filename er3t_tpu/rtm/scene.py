@@ -134,7 +134,8 @@ def _cloud_to_grids(cld, pha, atm):
 
 def build_scene(atm, abs_coef, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
                 surface=0.03, solar_zenith_angle=30.0, solar_azimuth_angle=0.0,
-                ipa=False, forward_trunc_deg=None, pfpeak=None):
+                ipa=False, forward_trunc_deg=None, pfpeak=None,
+                phase_bins=None):
     """Assemble a scene for the transport kernel.
 
     Parameters mirror the reference's ``mcarats_ng`` front door
@@ -179,17 +180,24 @@ def build_scene(atm, abs_coef, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
     # one HG phase row per constituent (1D then 3D aerosols)
     extra_asy = [a.asy for a in aer_1ds] + [a.asy for a in aer_3ds]
 
-    # phase table: default HG(0.85) for clouds + aerosol HG rows appended
+    # phase table: default HG(0.85) for clouds + aerosol HG rows appended.
+    # ``phase_bins`` overrides the 2048/2048 LUT resolution (n_u and n_m
+    # together) — the Pallas phase-pair cost is linear in table rows, so
+    # this is a rate/accuracy knob (BENCH_NOTES round-3).
+    pb = {} if phase_bins is None else {'n_u': int(phase_bins),
+                                        'n_m': int(phase_bins)}
     if pha is None:
         from ..pre.pha import pha_hg
         asy_rows = [0.85] + extra_asy
         table = build_phase_table(pha_hg(asy_params=tuple(asy_rows)),
-                                  forward_trunc_deg=forward_trunc_deg)
+                                  forward_trunc_deg=forward_trunc_deg, **pb)
     else:
-        table = build_phase_table(pha, forward_trunc_deg=forward_trunc_deg)
+        table = build_phase_table(pha, forward_trunc_deg=forward_trunc_deg,
+                                  **pb)
         if extra_asy:
             from ..pre.pha import pha_hg
-            aer_tab = build_phase_table(pha_hg(asy_params=tuple(extra_asy)))
+            aer_tab = build_phase_table(pha_hg(asy_params=tuple(extra_asy)),
+                                        **pb)
             table = PhaseTable(
                 mu_sample=np.concatenate([table.mu_sample, aer_tab.mu_sample[1:]], axis=0),
                 p_eval=np.concatenate([table.p_eval, aer_tab.p_eval[1:]], axis=0),

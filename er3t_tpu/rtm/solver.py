@@ -43,7 +43,13 @@ def distribute_photon(n_photon, weights, base_ratio=0.05):
 
 @dataclasses.dataclass
 class Result:
-    """Physical outputs with per-run statistics."""
+    """Physical outputs with per-run statistics.
+
+    ``runs`` holds every run's reduced fields when solve(mode='all') was
+    requested (the reference's ``mca_out_ng(mode='all')``,
+    mca_out.py:136-233) — post-hoc noise analysis (bootstrap, convergence
+    studies) can then be re-done from a saved artifact; empty under the
+    default mode='mean'."""
     target: str
     data: dict                  # mean fields
     std: dict                   # std fields
@@ -55,13 +61,16 @@ class Result:
     #                                   fail and are skipped — see
     #                                   _single_run's fault handling; fields
     #                                   are normalized by the effective count)
+    runs: list = dataclasses.field(default_factory=list)  # per-run fields
+    #                                   (mode='all'), one dict per run
 
     def __getitem__(self, k):
         return self.data[k]
 
     def save_h5(self, fname, compression='gzip'):
         """Dump results to HDF5 (the reference's mca_out_ng output format:
-        gzip'd datasets per field + run metadata, mca_out.py:209-233)."""
+        gzip'd datasets per field + run metadata, mca_out.py:209-233).
+        Per-run fields (mode='all') round-trip via ``run_NN/`` groups."""
         import h5py
         with h5py.File(fname, 'w') as f:
             for group, fields in (('', self.data), ('', self.std)):
@@ -71,6 +80,15 @@ class Result:
                         f.create_dataset(k, data=arr, compression=compression)
                     else:
                         f[k] = arr
+            for r, fields in enumerate(self.runs):
+                grp = f.create_group(f'run_{r:02d}')
+                for k, v in fields.items():
+                    arr = np.asarray(v)
+                    if arr.ndim > 0:
+                        grp.create_dataset(k, data=arr,
+                                           compression=compression)
+                    else:
+                        grp[k] = arr
             f.attrs['target'] = self.target
             f.attrs['toa'] = self.toa
             f.attrs['n_photon'] = self.n_photon
@@ -80,20 +98,15 @@ class Result:
     def load_h5(cls, fname):
         import h5py
         with h5py.File(fname, 'r') as f:
-            data = {k: f[k][...] for k in f if not k.endswith('_std')}
+            data = {k: f[k][...] for k in f
+                    if not k.endswith('_std') and not k.startswith('run_')}
             std = {k: f[k][...] for k in f if k.endswith('_std')}
+            runs = [{k: f[name][k][...] for k in f[name]}
+                    for name in sorted(f) if name.startswith('run_')]
             return cls(target=str(f.attrs['target']), data=data, std=std,
                        toa=float(f.attrs['toa']),
                        n_photon=float(f.attrs['n_photon']),
-                       n_run=int(f.attrs['n_run']))
-
-
-def _decomp_capable(cfg):
-    """Configs transport_decomp supports (see its NotImplementedError gate:
-    dist/decomp.py) — only pathlength statistics are not carried through
-    photon migration; slant/camera radiance decompose via global psum'd
-    images (the tilted-column local estimate needs only the local slab)."""
-    return not cfg.pathlength
+                       n_run=int(f.attrs['n_run']), runs=runs)
 
 
 def _single_run(scene, static, cfg, n_photon, seed, chunk=4_000_000,
@@ -123,7 +136,7 @@ def _single_run(scene, static, cfg, n_photon, seed, chunk=4_000_000,
     from .mc_flight import run_transport_flight
     use_flight = cfg.target == 'radiance' or cfg.flux_engine == 'flight'
     if mesh is not None:
-        if dict(mesh.shape).get('x', 1) > 1 and _decomp_capable(cfg):
+        if dict(mesh.shape).get('x', 1) > 1:
             from ..dist.decomp import transport_decomp
 
             def runner(scene, static, cfg, n_c, seed):
@@ -131,12 +144,6 @@ def _single_run(scene, static, cfg, n_photon, seed, chunk=4_000_000,
                                         seed=seed, flux_w=flux_w,
                                         rad_w=rad_w)
         else:
-            if dict(mesh.shape).get('x', 1) > 1:
-                from ..util.logger import get_logger
-                get_logger().info(
-                    'solve: config (pathlength) is not decomposable; '
-                    'routing to photon-parallel replication over the '
-                    'full mesh')
             from ..dist.photon import transport_photon_parallel
 
             def runner(scene, static, cfg, n_c, seed):
@@ -209,7 +216,7 @@ def solve(atm=None, abs_coef=None, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
           forward_trunc_deg=None, tile_size=0, flux_engine='flight',
           flux_kcross=4, cf_dtau=0.0, pathlength=False, split_wmax=0.0,
           rr_wmin=0.1, n_scat_max=2000, mesh=None, diffusion=0,
-          qmc_launch=False, pfpeak=None):
+          qmc_launch=False, pfpeak=None, mode='mean'):
     """Run a full radiative-transfer simulation — the single front door.
 
     Parameters mirror ``mcarats_ng`` (reference mcarats.py:62-231).  Every
@@ -253,8 +260,11 @@ def solve(atm=None, abs_coef=None, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
                                   | 'independent' (reference protocol)
     ============================  =======================================
 
-    Returns a :class:`Result`.
+    Returns a :class:`Result`.  ``mode='all'`` additionally retains every
+    run's reduced fields on ``Result.runs`` (mca_out_ng mode='all' twin).
     """
+    if mode not in ('mean', 'all'):
+        raise ValueError(f"mode must be 'mean' or 'all'; got {mode!r}")
     if atm is None or abs_coef is None:
         raise ValueError('atm and abs_coef are required')
     target = {'f': 'flux', 'flux': 'flux', 'irradiance': 'flux',
@@ -398,7 +408,8 @@ def solve(atm=None, abs_coef=None, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
                 data[k] = out.smooth_diffusion(arr, diffusion)
 
     return Result(target=target, data=data, std=std, toa=toa,
-                  n_photon=photons, n_run=n_run, n_photon_effective=n_eff)
+                  n_photon=photons, n_run=n_run, n_photon_effective=n_eff,
+                  runs=(per_run if mode == 'all' else []))
 
 
 def _independent_g_run(scene, static, cfg, atm, abs_coef, target,
@@ -406,19 +417,36 @@ def _independent_g_run(scene, static, cfg, atm, abs_coef, target,
     """Reference-protocol spectral sampling: one pass per g-point with the
     photon budget distributed by g weight.  ``mesh``/``chunk`` thread through
     to _single_run so the reference-protocol mode scales out and bounds
-    device-call length exactly like the correlated mode."""
+    device-call length exactly like the correlated mode.
+
+    Per-g passes run ng=1, so the in-kernel scalar contraction (unit
+    weights) is trivially exact and halves the deposit-scatter cost the
+    correlated path already avoids (VERDICT r4 item 8): a (B, 1) tally row
+    pads to 128 lanes while the contracted scalar does not.  Pathlength
+    statistics (``cfg.pathlength``) are carried per g exactly like the
+    correlated mode (rad_w is incompatible with pathlength in-kernel, so
+    those runs keep the 1-wide rows)."""
     import dataclasses as _dc
     ng = abs_coef.ng
     dist = distribute_photon(n_photon, abs_coef.weight)
+    # unit-weight in-kernel contraction: exact for ng=1 (tally unchanged,
+    # deposit becomes a scalar scatter)
+    rad_w1 = (np.ones(1, np.float32)
+              if target == 'radiance' and not cfg.pathlength else None)
+    flux_w1 = (np.ones((static.nz + 1, 1), np.float32)
+               if (target != 'radiance' and cfg.flux_per_column
+                   and cfg.flux_kcross > 0 and cfg.flux_engine == 'flight')
+               else None)
     acc_rad = None
     acc_flux = None
+    acc_pl = None
     n_total = 0
     for g in range(ng):
         scene_g = scene._replace(kabs=scene.kabs[:, g:g + 1])
         static_g = _dc.replace(static, ng=1)
-        rad_t, flux_t, n_l, _, _ = _single_run(scene_g, static_g, cfg,
-                                               int(dist[g]), seed + g,
-                                               chunk=chunk, mesh=mesh)
+        rad_t, flux_t, n_l, rad_pl, _ = _single_run(
+            scene_g, static_g, cfg, int(dist[g]), seed + g,
+            chunk=chunk, mesh=mesh, flux_w=flux_w1, rad_w=rad_w1)
         n_total += n_l
         # scale per-g tallies to the common budget normalization
         wsc = 1.0 / max(n_l, 1)
@@ -427,6 +455,17 @@ def _independent_g_run(scene, static, cfg, atm, abs_coef, target,
             acc_flux = np.zeros(flux_t.shape[:4] + (ng,), np.float64)
         acc_rad[..., g] = rad_t[..., 0] * wsc
         acc_flux[..., g] = flux_t[..., 0] * wsc
+        if cfg.pathlength and target == 'radiance':
+            if acc_pl is None:
+                acc_pl = np.zeros_like(acc_rad)
+            acc_pl[..., g] = rad_pl[..., 0] * wsc
     if target == 'radiance':
-        return out.reduce_radiance(acc_rad, 1, abs_coef, mu0, date=date), n_total
+        red = out.reduce_radiance(acc_rad, 1, abs_coef, mu0, date=date)
+        if cfg.pathlength:
+            w = abs_coef.weight
+            with np.errstate(invalid='ignore', divide='ignore'):
+                red['plen'] = np.where(acc_rad @ w > 0,
+                                       (acc_pl @ w) / np.maximum(
+                                           acc_rad @ w, 1e-30), 0.0)
+        return red, n_total
     return out.reduce_flux(acc_flux, 1, abs_coef, mu0, date=date), n_total

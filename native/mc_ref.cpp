@@ -59,13 +59,19 @@ struct Scene {
   double dx, dy, albedo, mu0, phi0;
 };
 
-inline double phase_eval(const Scene& sc, int apf, double mu) {
+// ``first``: first-order (still-direct) local estimates read the TMS rows
+// (second half of pt_p, P_full/(1-f)) so single scattering stays exact
+// under delta-truncated tables — the same Nakajima & Tanaka (1988)
+// estimator definition as the JAX flight kernel (pre/pha.py p_tms).
+// Rayleigh (apf == 0) is analytic and truncation-free either way.
+inline double phase_eval(const Scene& sc, int apf, double mu, bool first) {
   if (apf == 0) return 0.75 * (1.0 + mu * mu);
   double fm = (mu + 1.0) * 0.5 * (sc.nm - 1);
   int i = (int)(fm + 0.5);
   if (i < 0) i = 0;
   if (i >= sc.nm) i = sc.nm - 1;
-  return sc.pt_p[apf * sc.nm + i];
+  int row = first ? apf + sc.npf : apf;
+  return sc.pt_p[row * sc.nm + i];
 }
 
 inline double phase_sample(const Scene& sc, int apf, double u, Rng& rng) {
@@ -229,7 +235,7 @@ void mc_ref_run(
           if (do_radiance) {
             // local estimate to nadir sensor
             double mu_sc = uz;  // dot(u, up)
-            double pv = phase_eval(sc, apf, mu_sc);
+            double pv = phase_eval(sc, apf, mu_sc, direct);
             double t_sig = cum_sig_lev[l + 1] + (sig_ray[l] + sig_aer[l]) * (z_lev[l + 1] - z);
             double t3 = 0.0;
             if (nz3 > 0) {

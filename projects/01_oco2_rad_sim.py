@@ -36,7 +36,15 @@ LOG = get_logger()
 
 
 def main_pre(args):
-    """Granule -> along-track COT/CER maps (or a synthetic scene)."""
+    """Granule -> along-track COT/CER maps (or a synthetic scene).
+
+    The retrieved cloud map is re-registered before the 3D run with the
+    reference's correction chain (cdata_cld_ipa,
+    /root/reference/projects/01_oco2_rad-sim.py:1024-1100): parallax by
+    (CTH - sfc) tan(VZA) along the sensor azimuth plus steering-wind
+    advection over the imager-to-sensor time offset
+    (er3t_tpu.apps.cldpos.correct_cloud_map).
+    """
     if args.l1b:
         from er3t_tpu.sat.oco2 import oco2_rad_nadir
         obj = oco2_rad_nadir(args.l1b)
@@ -67,10 +75,21 @@ def main_pre(args):
             r = rng.integers(2, 7)
             cot[(ii - i) ** 2 + (jj - j) ** 2 <= r ** 2] = rng.uniform(3, 25)
     cer = np.where(cot > 0, 12.0, 0.0)
-    return cot, cer
+    cth = np.where(cot > 0, args.cth, 0.0)
+    if args.vza or args.wind_u or args.wind_v:
+        from er3t_tpu.apps.cldpos import correct_cloud_map
+        cot, cer, cth, _ = correct_cloud_map(
+            cot, cer, cth, sfh_km=0.0, vza_deg=args.vza, vaa_deg=args.vaa,
+            u10=args.wind_u, v10=args.wind_v, dt_s=args.dt,
+            dx_km=args.dx, dy_km=args.dx, mode='3d')
+        LOG.framework(
+            f'cloud map re-registered (parallax vza={args.vza:.1f} '
+            f'vaa={args.vaa:.1f}; wind {args.wind_u:.1f},{args.wind_v:.1f} '
+            f'm/s over {args.dt:.0f} s)')
+    return cot, cer, cth
 
 
-def main_sim(cot, cer, args):
+def main_sim(cot, cer, cth, args):
     """3D + IPA O2 A-band radiance over a Cox-Munk ocean."""
     atm = atm_atmmod(np.concatenate([np.arange(0, 3.0, 0.5),
                                  np.arange(3.0, 20.1, 1.0)]))
@@ -82,7 +101,7 @@ def main_sim(cot, cer, args):
         ab = abs_synthetic(args.wavelength, atm)
         LOG.framework(f'synthetic A-band k-distribution at {ab.wvl:.1f} nm')
 
-    cld = cld_gen_cop(cot, cer, np.where(cot > 0, 2.0, 0.0),
+    cld = cld_gen_cop(cot, cer, np.where(cth > 0, cth, 0.0),
                       dx=args.dx, dy=args.dx, dz=0.5)
     pha = pha_mie_wc(args.wavelength)
     sfc = sfc_ocean(wvl=args.wavelength, u10=args.u10)
@@ -100,15 +119,34 @@ def main_sim(cot, cer, args):
     return out
 
 
-def main_post(cot, out, args):
+def main_post(cot, out, args, obs=None):
+    """Per-footprint sim-vs-obs comparison (reference main_post,
+    01_oco2_rad-sim.py:1773-...): OCO-2 samples 8 across-track footprints
+    per sounding; the simulated image is sampled at the footprint columns
+    and compared per footprint — against the L1B continuum radiance when a
+    granule was given (``obs``), else 3D vs IPA footprint-by-footprint."""
     os.makedirs(args.outdir, exist_ok=True)
     track = out['3d'][:, out['3d'].shape[1] // 2]
     track_ipa = out['ipa'][:, out['ipa'].shape[1] // 2]
+    # 8 across-track footprint columns centered mid-swath
+    ny = out['3d'].shape[1]
+    fp_cols = (ny // 2 - 4) + np.arange(8)
+    fp_sim = out['3d'][:, fp_cols]               # (along-track, 8)
+    fp_ipa = out['ipa'][:, fp_cols]
+    fp = {'sim_3d': fp_sim, 'sim_ipa': fp_ipa, 'columns': fp_cols}
+    if obs is not None:
+        n = min(obs.shape[0], fp_sim.shape[0])
+        fp['obs'] = obs[:n]
+        with np.errstate(invalid='ignore', divide='ignore'):
+            scale = np.nanmedian(obs[:n] / np.maximum(fp_sim[:n], 1e-30))
+        fp['obs_over_sim_median'] = float(scale)
+        LOG.framework(f'per-footprint obs/sim median = {scale:.3f} '
+                      f'({n} soundings x 8 footprints)')
     try:
         import matplotlib
         matplotlib.use('Agg')
         import matplotlib.pyplot as plt
-        fig, (a0, a1) = plt.subplots(1, 2, figsize=(11, 4))
+        fig, (a0, a1, a2) = plt.subplots(1, 3, figsize=(15, 4))
         im = a0.imshow(out['3d'].T, origin='lower', cmap='viridis')
         fig.colorbar(im, ax=a0, label='radiance')
         a0.set_title(f'O2 A-band 3D radiance ({args.wavelength:.1f} nm)')
@@ -118,6 +156,19 @@ def main_post(cot, out, args):
         a1.set_ylabel('radiance')
         a1.legend()
         a1.set_title('nadir track: 3D vs IPA')
+        # per-footprint panel: obs vs sim when a granule was given, else
+        # the 3D-vs-IPA footprint scatter (8 across-track footprints)
+        ref_fp = fp.get('obs', fp_ipa)
+        a2.plot([0, max(fp_sim.max(), 1e-9)], [0, max(fp_sim.max(), 1e-9)],
+                'k-', lw=0.7)
+        for k in range(8):
+            n = min(ref_fp.shape[0], fp_sim.shape[0])
+            a2.plot(fp_sim[:n, k], ref_fp[:n, k], '.', ms=3,
+                    label=f'fp{k}' if k in (0, 7) else None)
+        a2.set_xlabel('simulated 3D radiance')
+        a2.set_ylabel('observed' if 'obs' in fp else 'IPA')
+        a2.set_title('per-footprint comparison')
+        a2.legend(fontsize=7)
         fig.tight_layout()
         fn = os.path.join(args.outdir, 'oco2_aband_rad.png')
         fig.savefig(fn, dpi=130)
@@ -125,7 +176,9 @@ def main_post(cot, out, args):
     except Exception as e:                        # headless-safe
         LOG.framework(f'plotting skipped: {e}')
     np.savez(os.path.join(args.outdir, 'oco2_aband_rad.npz'),
-             cot=cot, rad_3d=out['3d'], rad_ipa=out['ipa'])
+             cot=cot, rad_3d=out['3d'], rad_ipa=out['ipa'], **{
+                 f'fp_{k}': v for k, v in fp.items()
+                 if isinstance(v, np.ndarray)})
     return track, track_ipa
 
 
@@ -141,12 +194,24 @@ def main():
     ap.add_argument('--dx', type=float, default=0.25)
     ap.add_argument('--sza', type=float, default=30.0)
     ap.add_argument('--u10', type=float, default=5.0, help='wind speed m/s')
+    ap.add_argument('--cth', type=float, default=2.5,
+                    help='cloud-top height for the retrieved map [km]')
+    ap.add_argument('--vza', type=float, default=0.0,
+                    help='imager viewing zenith for parallax correction')
+    ap.add_argument('--vaa', type=float, default=0.0,
+                    help='imager viewing azimuth (deg clockwise from N)')
+    ap.add_argument('--wind-u', type=float, default=0.0,
+                    help='steering wind east [m/s] for advection correction')
+    ap.add_argument('--wind-v', type=float, default=0.0,
+                    help='steering wind north [m/s]')
+    ap.add_argument('--dt', type=float, default=0.0,
+                    help='imager-to-sensor time offset [s]')
     ap.add_argument('--outdir', default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), 'output', '01'))
     args = ap.parse_args()
 
-    cot, cer = main_pre(args)
-    out = main_sim(cot, cer, args)
+    cot, cer, cth = main_pre(args)
+    out = main_sim(cot, cer, cth, args)
     main_post(cot, out, args)
 
 

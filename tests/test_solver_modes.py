@@ -461,6 +461,87 @@ def test_heating_rate_direct_tally(atm):
                                + 1e-8, rtol=1.0)
 
 
+def test_drain_compact_equivalence(atm):
+    """Drain-phase batch compaction (flight kernel): once the launch quota
+    is exhausted, surviving stragglers are compacted into an 8x/64x smaller
+    batch — exact lane-state permutation, so means agree with the
+    uncompacted loop within MC noise and the launch count is identical."""
+    from er3t_tpu.pre.cld import cld_gen_hom
+    from er3t_tpu.rtm.scene import build_scene
+    from er3t_tpu.rtm.mc_flight import run_transport_flight
+
+    ab = abs_synthetic(650.0, atm)
+    cld = cld_gen_hom(nx=8, ny=8, dx=1.0, dy=1.0, cot0=8.0, cer0=10.0,
+                      cloud_base=1.0, cloud_top=3.0)
+    scn, st = build_scene(atm, ab, cld=cld, surface=0.15,
+                          solar_zenith_angle=30.0)
+    means = {}
+    for dc in (True, False):
+        cfg = solver.mc.SolverConfig(target='radiance', batch=1 << 13,
+                                     drain_compact=dc, n_scat_max=400)
+        t = run_transport_flight(scn, st, cfg, 200_000, seed=5)
+        assert int(t.n_launched) == 200_000
+        means[dc] = float((np.asarray(t.rad) @ ab.weight).mean()
+                          / int(t.n_launched))
+    assert means[True] == pytest.approx(means[False], rel=0.01)
+
+
+def test_result_mode_all_roundtrip(atm, tmp_path):
+    """mode='all' retains per-run fields and round-trips through HDF5
+    (mca_out_ng mode='all' twin, mca_out.py:136-233) — post-hoc noise
+    analysis can be re-done from a saved artifact."""
+    ab = abs_synthetic(650.0, atm)
+    res = solver.solve(atm=atm, abs_coef=ab, surface=0.1, target='flux',
+                       photons=20000, n_run=3, batch=1 << 11, mode='all')
+    assert len(res.runs) == 3
+    # the mean field is the mean of the per-run fields
+    np.testing.assert_allclose(
+        np.mean([r['f_up'] for r in res.runs], axis=0), res['f_up'],
+        rtol=1e-6)
+    fname = os.path.join(tmp_path, 'all.h5')
+    res.save_h5(fname)
+    back = solver.Result.load_h5(fname)
+    assert len(back.runs) == 3
+    np.testing.assert_allclose(back.runs[1]['f_down'],
+                               res.runs[1]['f_down'], rtol=1e-6)
+    # default mode stores no per-run fields
+    res2 = solver.solve(atm=atm, abs_coef=ab, surface=0.1, target='flux',
+                        photons=10000, n_run=2, batch=1 << 11)
+    assert res2.runs == []
+
+
+def test_independent_contraction_exact(atm):
+    """The ng=1 unit-weight in-kernel contraction in _independent_g_run is
+    exact: same seeds must give the same reduced fields as the uncontracted
+    per-g path (here: radiance, checked against a manual uncontracted
+    rerun of the same protocol)."""
+    import dataclasses as _dc
+    from er3t_tpu.rtm.mc_flight import run_transport_flight
+    from er3t_tpu.rtm import out as out_mod
+    from er3t_tpu.rtm.scene import build_scene
+
+    ab = abs_synthetic(940.0, atm)
+    scene, st = build_scene(atm, ab, surface=0.2, solar_zenith_angle=30.0)
+    cfg = solver.mc.SolverConfig(target='radiance', batch=1 << 11)
+    dist = solver.distribute_photon(30000, ab.weight)
+    seed = 42
+    acc_c = np.zeros((st.nx, st.ny, ab.ng))
+    acc_u = np.zeros((st.nx, st.ny, ab.ng))
+    for g in range(ab.ng):
+        scene_g = scene._replace(kabs=scene.kabs[:, g:g + 1])
+        st_g = _dc.replace(st, ng=1)
+        # contracted (unit rad_w, the _independent_g_run path) ...
+        tc = run_transport_flight(scene_g, st_g, cfg, int(dist[g]),
+                                  seed=seed + g, rng_impl='threefry2x32',
+                                  rad_w=np.ones(1, np.float32))
+        # ... vs uncontracted, same RNG stream
+        tu = run_transport_flight(scene_g, st_g, cfg, int(dist[g]),
+                                  seed=seed + g, rng_impl='threefry2x32')
+        acc_c[..., g] = np.asarray(tc.rad)[..., 0] / int(tc.n_launched)
+        acc_u[..., g] = np.asarray(tu.rad)[..., 0] / int(tu.n_launched)
+    np.testing.assert_allclose(acc_c, acc_u, rtol=1e-5, atol=1e-9)
+
+
 def test_heating_rate_absorbing_cloud_closure(atm):
     """Energy closure of the direct tally with PARTICULATE absorption
     (advisor round-4 high): droplets with ssa<1 absorb weight at accepted
