@@ -258,12 +258,13 @@ def transport_decomp(scene, st, cfg: SolverConfig, n_photon: int, mesh,
         else:
             rad_pl = jnp.zeros(())
         return Tallies(rad=rad, flux=flux, n_launched=launched,
-                       n_steps=steps, rad_plen=rad_pl, absorbed=ab)
+                       n_steps=steps, rad_plen=rad_pl,
+                       lane_iters=steps * B, absorbed=ab)
 
     flux_spec = P('x') if (not radiance and cfg.flux_per_column) else P()
     out_specs = Tallies(rad=P() if radiance else P('x'), flux=flux_spec,
                         n_launched=P(), n_steps=P(), rad_plen=P(),
-                        absorbed=P())
+                        lane_iters=P(), absorbed=P())
     fn = jax.jit(jax.shard_map(worker, mesh=mesh,
                                in_specs=(in_specs, P(), P()),
                                out_specs=out_specs, check_vma=False))

@@ -55,6 +55,7 @@ def transport_photon_parallel(scene, st, cfg: SolverConfig, n_photon: int,
                                    rad_w=rw_loc if use_rw else None)
             rad, flux, n = tal.rad, tal.flux, tal.n_launched
             n_s, rpl, ab = tal.n_steps, tal.rad_plen, tal.absorbed
+            li = tal.lane_iters
             for a in axis_names:
                 rad = jax.lax.psum(rad, a)
                 flux = jax.lax.psum(flux, a)
@@ -62,14 +63,15 @@ def transport_photon_parallel(scene, st, cfg: SolverConfig, n_photon: int,
                 n_s = jax.lax.psum(n_s, a)
                 rpl = jax.lax.psum(rpl, a)
                 ab = jax.lax.psum(ab, a)
+                li = jax.lax.psum(li, a)
             return Tallies(rad=rad, flux=flux, n_launched=n, n_steps=n_s,
-                           rad_plen=rpl, absorbed=ab)
+                           rad_plen=rpl, lane_iters=li, absorbed=ab)
 
         return jax.shard_map(
             worker, mesh=mesh,
             in_specs=(P(), P(), P()),
             out_specs=Tallies(rad=P(), flux=P(), n_launched=P(), n_steps=P(),
-                              rad_plen=P(), absorbed=P()),
+                              rad_plen=P(), lane_iters=P(), absorbed=P()),
             check_vma=False,
         )(scene, fw, rw)
 

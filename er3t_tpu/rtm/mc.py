@@ -219,6 +219,12 @@ class Tallies(NamedTuple):
     n_steps: jnp.ndarray = 0        # while-loop iterations
     rad_plen: jnp.ndarray = 0.0     # (Nxr, Nyr, Ng) pathlength-weighted
     #                                 radiance (mean path = rad_plen/rad)
+    lane_iters: jnp.ndarray = 0     # total lane-iterations (sum over loop
+    #                                 steps of the ACTIVE batch width —
+    #                                 drain compaction shrinks the batch,
+    #                                 so steps*batch would overcount; this
+    #                                 is the hardware-independent work
+    #                                 metric of the weak-scaling record)
     absorbed: jnp.ndarray = 0.0     # (Nz, Ng) per-layer absorbed energy
     #                                 (flight kernel, domain-average flux
     #                                 runs — the direct heating-rate tally)
@@ -657,7 +663,8 @@ def transport(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         flux = flux.at[:, :, nz, 0, :].add(per_col)
     return Tallies(rad=out.rad.reshape(nxr, nyr, ng),
                    flux=flux,
-                   n_launched=out.launched, n_steps=out.step)
+                   n_launched=out.launched, n_steps=out.step,
+                   lane_iters=out.step * cfg.batch)
 
 
 def run_transport(scene, static, cfg, n_photon, seed=0):

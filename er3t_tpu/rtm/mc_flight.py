@@ -1343,10 +1343,10 @@ def transport_flight(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
     # monotonically across stages.  Auto-disabled for configurations whose
     # int lane state could exceed the f32-exact range.
     compact_stages = []
-    if (cfg.drain_compact and cfg.sort_every == 0 and cfg.batch >= 8192
+    if (cfg.drain_compact and cfg.sort_every == 0 and cfg.batch >= 2048
             and st.nx * st.ny < 2 ** 24 and cfg.n_scat_max < 2 ** 24):
         b_s = cfg.batch // 8
-        while b_s >= 1024 and len(compact_stages) < 2:
+        while b_s >= 256 and len(compact_stages) < 2:
             compact_stages.append(b_s)
             b_s //= 8
 
@@ -1364,6 +1364,7 @@ def transport_flight(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
             return jax.lax.fori_loop(0, cfg.sort_every,
                                      lambda i, cc: body(cc), c)
         out = jax.lax.while_loop(cond_capped, outer, carry0)
+        lane_iters = out.step * cfg.batch
     elif compact_stages:
         b1 = compact_stages[0]
 
@@ -1373,6 +1374,8 @@ def transport_flight(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                     & ((n_alive > 0) | (c.launched < n_photon))
                     & (c.step < max_steps))
         c = jax.lax.while_loop(cond0, body, carry0)
+        lane_iters = c.step * cfg.batch
+        prev_step = c.step
         import dataclasses as _dc
         for si, b_s in enumerate(compact_stages):
             cfg_s = _dc.replace(cfg, batch=b_s)
@@ -1390,9 +1393,12 @@ def transport_flight(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                 n_alive = jnp.sum(cc.alive.astype(jnp.int32))
                 return (n_alive > nxt) & (cc.step < max_steps)
             c = jax.lax.while_loop(cond_s, body_s, c)
+            lane_iters = lane_iters + (c.step - prev_step) * b_s
+            prev_step = c.step
         out = c
     else:
         out = jax.lax.while_loop(cond_capped, body, carry0)
+        lane_iters = out.step * cfg.batch
     if cfg.sensor_type == 'camera':
         nxr = nyr = cfg.cam_npix
     else:
@@ -1419,7 +1425,8 @@ def transport_flight(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
     return Tallies(rad=out.rad.reshape(nxr, nyr, ng_r),
                    flux=flux,
                    n_launched=out.launched, n_steps=out.step,
-                   rad_plen=rad_plen, absorbed=out.absorbed)
+                   rad_plen=rad_plen, lane_iters=lane_iters,
+                   absorbed=out.absorbed)
 
 
 def run_transport_flight(scene, static, cfg, n_photon, seed=0, rng_impl='rbg',

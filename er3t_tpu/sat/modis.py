@@ -300,15 +300,28 @@ class modis_l2:
                 cer_err = zeros if cer_err is None else cer_err
                 cwp_err = zeros if cwp_err is None else cwp_err
 
-                # COT/CER are 1km; lon/lat in MOD06 are 5km — upsample
-                from ..util.grid import upscale_2d
+                # COT/CER are 1km; lon/lat in MOD06 are 5km — upscale with
+                # the standard MODIS geolocation interpolation (grid
+                # offsets + linear interp/extrapolation,
+                # upscale_modis_lonlat; the reference's modis_l2 path uses
+                # the same function, modis.py:660-668/2556).  Block
+                # replication (upscale_2d) put every 1-km pixel of a 5-km
+                # cell on the SAME coordinate — a ~2.5 km registration
+                # error at gridding time.
                 if lon.shape != cot.shape:
                     fy = int(round(cot.shape[0] / lon.shape[0]))
                     fx = int(round(cot.shape[1] / lon.shape[1]))
-                    lon = upscale_2d(lon, (fy, fx))[:cot.shape[0],
-                                                    :cot.shape[1]]
-                    lat = upscale_2d(lat, (fy, fx))[:cot.shape[0],
-                                                    :cot.shape[1]]
+                    if fy == fx and fy in (2, 4, 5):
+                        lon, lat = upscale_modis_lonlat(
+                            lon, lat, scale=fy, extra_grid=(fy == 5))
+                        lon = lon[:cot.shape[0], :cot.shape[1]]
+                        lat = lat[:cot.shape[0], :cot.shape[1]]
+                    else:
+                        from ..util.grid import upscale_2d
+                        lon = upscale_2d(lon, (fy, fx))[:cot.shape[0],
+                                                        :cot.shape[1]]
+                        lat = upscale_2d(lat, (fy, fx))[:cot.shape[0],
+                                                        :cot.shape[1]]
 
                 cot = np.nan_to_num(cot, nan=-1.0)
                 cer = np.nan_to_num(cer, nan=-1.0)

@@ -30,104 +30,303 @@ def _subset(lon, lat, extent):
 
 
 class viirs_03:
-    """VNP03MOD / VNP03IMG geolocation."""
+    """VNP03MOD / VNP03IMG geolocation (reference viirs.py:96-271).
+
+    Full angle set: solar AND sensor zenith/azimuth plus the land/water
+    mask and quality flag when present (the reference reads all of
+    ``geolocation_data``'s angle SDSes; vza/vaa feed the parallax
+    correction, apps/cldpos.py)."""
 
     ID = 'VIIRS Geolocation'
 
+    _ANGLES = (('sza', 'solar_zenith', 'Solar zenith'),
+               ('saa', 'solar_azimuth', 'Solar azimuth'),
+               ('vza', 'sensor_zenith', 'Sensor zenith'),
+               ('vaa', 'sensor_azimuth', 'Sensor azimuth'))
+
     def __init__(self, fnames, extent=None):
-        lons, lats, szas, saas = [], [], [], []
+        cols = {k: [] for k, _, _ in self._ANGLES}
+        cols.update(lon=[], lat=[], land_water_mask=[])
         for fname in np.atleast_1d(fnames):
             f = open_any(fname)
             try:
                 lon, _ = f.var('geolocation_data/longitude')
                 lat, _ = f.var('geolocation_data/latitude')
                 sel = _subset(lon, lat, extent)
-                lons.append(lon[sel]); lats.append(lat[sel])
-                for tgt, nm in ((szas, 'geolocation_data/solar_zenith'),
-                                (saas, 'geolocation_data/solar_azimuth')):
-                    d, a = f.var(nm)
-                    tgt.append(apply_scaling(d, a)[sel])
-            finally:
-                f.close()
-        self.data = {
-            'lon': _entry(np.concatenate(lons), 'Longitude', 'deg'),
-            'lat': _entry(np.concatenate(lats), 'Latitude', 'deg'),
-            'sza': _entry(np.concatenate(szas), 'Solar zenith', 'deg'),
-            'saa': _entry(np.concatenate(saas), 'Solar azimuth', 'deg'),
-        }
-
-
-class viirs_l1b:
-    """VNP02 L1B calibrated reflectance/radiance for one M-band."""
-
-    ID = 'VIIRS L1B'
-
-    def __init__(self, fnames, f03=None, band='M05', extent=None):
-        rads, refs = [], []
-        for fname in np.atleast_1d(fnames):
-            f = open_any(fname)
-            try:
-                raw, attrs = f.var(f'observation_data/{band}')
-                arr = np.asarray(raw, dtype=np.float64)
-                fill = attrs.get('_FillValue', 65535)
-                bad = arr >= np.float64(np.squeeze(fill))
-                ref = (arr - np.float64(np.squeeze(attrs.get('add_offset', 0.0)))) \
-                    * np.float64(np.squeeze(attrs.get('scale_factor', 1.0)))
-                ref[bad] = np.nan
-                refs.append(ref)
+                cols['lon'].append(lon[sel])
+                cols['lat'].append(lat[sel])
+                for key, sds, _ in self._ANGLES:
+                    d, a = f.var(f'geolocation_data/{sds}')
+                    cols[key].append(apply_scaling(d, a)[sel])
                 try:
-                    lut, _ = f.var(f'observation_data/{band}_brightness_temperature_lut')
-                    rads.append(lut)
+                    lw, _ = f.var('geolocation_data/land_water_mask')
+                    cols['land_water_mask'].append(np.asarray(lw)[sel])
                 except Exception:
                     pass
             finally:
                 f.close()
         self.data = {
-            'ref': _entry(np.concatenate([r.ravel() for r in refs]),
-                          'Reflectance (TOA)'),
+            'lon': _entry(np.concatenate(cols['lon']), 'Longitude', 'deg'),
+            'lat': _entry(np.concatenate(cols['lat']), 'Latitude', 'deg'),
         }
+        for key, _, name in self._ANGLES:
+            self.data[key] = _entry(np.concatenate(cols[key]), name, 'deg')
+        if cols['land_water_mask']:
+            self.data['land_water_mask'] = _entry(
+                np.concatenate(cols['land_water_mask']), 'Land/water mask')
+
+
+class viirs_l1b:
+    """VNP02 L1B calibrated reflectance + radiance (reference
+    viirs.py:273-474).
+
+    Per band: TOA reflectance (``scale_factor``/``add_offset`` scaling),
+    radiance via the band's ``radiance_scale_factor``/``radiance_add_offset``
+    attributes, the uncertainty index when present, and the quality flags
+    SDS.  ``bands`` may list several M/I-bands; fields become
+    ``ref``/``rad``/``uct`` (first band, back-compatible) and
+    ``ref_<band>``/... for the rest."""
+
+    ID = 'VIIRS L1B'
+
+    def __init__(self, fnames, f03=None, band='M05', bands=None, extent=None):
+        bands = list(bands) if bands else [band]
+        cols = {}
+        for fname in np.atleast_1d(fnames):
+            f = open_any(fname)
+            try:
+                for b in bands:
+                    raw, attrs = f.var(f'observation_data/{b}')
+                    arr = np.asarray(raw, dtype=np.float64)
+                    fill = attrs.get('_FillValue', 65535)
+                    bad = arr >= np.float64(np.squeeze(fill))
+                    sf = np.float64(np.squeeze(attrs.get('scale_factor', 1.0)))
+                    off = np.float64(np.squeeze(attrs.get('add_offset', 0.0)))
+                    ref = (arr - off) * sf
+                    ref[bad] = np.nan
+                    cols.setdefault(('ref', b), []).append(ref)
+                    # radiance from the radiance_* attribute pair (the
+                    # reference's rad field, viirs.py:439-448)
+                    rsf = attrs.get('radiance_scale_factor', None)
+                    if rsf is not None:
+                        roff = np.float64(np.squeeze(
+                            attrs.get('radiance_add_offset', 0.0)))
+                        rad = (arr - roff) * np.float64(np.squeeze(rsf))
+                        rad[bad] = np.nan
+                        cols.setdefault(('rad', b), []).append(rad)
+                    for suf, key in (('_uncert_index', 'uct'),
+                                     ('_quality_flags', 'qf')):
+                        try:
+                            u, ua = f.var(f'observation_data/{b}{suf}')
+                            cols.setdefault((key, b), []).append(
+                                apply_scaling(u, ua) if key == 'uct'
+                                else np.asarray(u))
+                        except Exception:
+                            pass
+            finally:
+                f.close()
+        names = {'ref': 'Reflectance (TOA)', 'rad': 'Radiance',
+                 'uct': 'Uncertainty index', 'qf': 'Quality flags'}
+        units = {'rad': 'W/m^2/um/sr'}
+        self.data = {}
+        for (kind, b), arrs in cols.items():
+            key = kind if b == bands[0] else f'{kind}_{b}'
+            self.data[key] = _entry(
+                np.concatenate([a.ravel() for a in arrs]),
+                f'{names[kind]} ({b})', units.get(kind, 'N/A'))
         if f03 is not None:
             self.data['lon'] = f03.data['lon']
             self.data['lat'] = f03.data['lat']
 
 
+def _bits(b, k, n=1):
+    """MSB-first bit field: ``n`` bits starting at bit ``k`` of uint8
+    ``b`` (the reference decodes with np.unpackbits, viirs.py:546-620;
+    shifting is equivalent and needs no reshape)."""
+    b = np.asarray(b).astype(np.uint8)
+    return (b >> (8 - k - n)) & ((1 << n) - 1)
+
+
 class viirs_cldprop_l2:
-    """CLDPROP_L2_VIIRS cloud optical properties -> gridded cot/cer."""
+    """CLDPROP_L2_VIIRS cloud properties (reference viirs.py:476-919).
+
+    Optical-property mode (default): full SDS set — ctp/cth/cot/cer/cwp,
+    the clear-sky-restoral PCL trio (fill-in identical to the reference's
+    read_cop: invalid/undetermined-phase retrievals reset to clear, PCL
+    values fill standard-clear pixels, flagged in ``pcl``), and the three
+    uncertainty fields (percent -> absolute).  ``maskvars=True`` instead
+    decodes the Cloud_Mask byte 0 (cloud_mask_flag, day_night_flag,
+    sunglint_flag, snow_ice_flag, land_water_cat, fov_qa_cat) and, with
+    ``quality_assurance>0``, the Quality_Assurance bytes 0-1 into
+    ``self.qa`` (ret_std/1621 outcome + confidence + data availability;
+    cld_type/rayleigh/cot_bands/cot_oob/bowtie)."""
 
     ID = 'VIIRS Cloud Properties'
 
-    def __init__(self, fnames, extent=None, nx=None, ny=None):
-        lons, lats, cots, cers = [], [], [], []
+    def __init__(self, fnames, extent=None, nx=None, ny=None,
+                 maskvars=False, quality_assurance=0):
+        self.qa = {}
+        if maskvars:
+            self._read_mask(fnames, extent, quality_assurance)
+        else:
+            self._read_cop(fnames, extent, nx, ny)
+
+    def _read_cop(self, fnames, extent, nx, ny):
+        cols = {k: [] for k in ('lon', 'lat', 'ctp', 'cth', 'cot', 'cer',
+                                'cwp', 'cot_uct', 'cer_uct', 'cwp_uct',
+                                'pcl')}
         for fname in np.atleast_1d(fnames):
             f = open_any(fname)
             try:
                 lon, _ = f.var('geolocation_data/longitude')
                 lat, _ = f.var('geolocation_data/latitude')
-                cot, a1 = f.var('geophysical_data/Cloud_Optical_Thickness')
-                cer, a2 = f.var('geophysical_data/Cloud_Effective_Radius')
-                cot = apply_scaling(cot, a1)
-                cer = apply_scaling(cer, a2)
                 sel = _subset(lon, lat, extent)
-                lons.append(lon[sel]); lats.append(lat[sel])
-                cots.append(cot[sel]); cers.append(cer[sel])
+
+                def rd(name, default=None):
+                    try:
+                        d, a = f.var(f'geophysical_data/{name}')
+                        return apply_scaling(d, a)[sel]
+                    except Exception:
+                        return default
+                ctp = rd('Cloud_Phase_Optical_Properties')
+                cth = rd('Cloud_Top_Height')
+                cot = rd('Cloud_Optical_Thickness')
+                cer = rd('Cloud_Effective_Radius')
+                npx = cot.shape if cot is not None else lon[sel].shape
+                zeros = np.zeros(npx)
+                cot = zeros.copy() if cot is None else np.nan_to_num(cot, nan=-1.0)
+                cer = zeros.copy() if cer is None else np.nan_to_num(cer, nan=-1.0)
+                cwp = rd('Cloud_Water_Path')
+                cwp = zeros.copy() if cwp is None else np.nan_to_num(cwp, nan=-1.0)
+                ctp = np.zeros(npx, np.int32) + 1 if ctp is None \
+                    else np.nan_to_num(ctp, nan=0.0).astype(np.int32)
+                cth = zeros.copy() if cth is None \
+                    else np.nan_to_num(cth, nan=0.0) / 1000.0  # m -> km
+                uct = {k: np.nan_to_num(rd(f'Cloud_{n}_Uncertainty',
+                                           zeros.copy()), nan=0.0)
+                       for k, n in (('cot', 'Optical_Thickness'),
+                                    ('cer', 'Effective_Radius'),
+                                    ('cwp', 'Water_Path'))}
+                # invalid/undetermined-phase retrievals -> clear sky
+                # (reference read_cop, viirs.py:852-860)
+                bad = (cot < 0) | (cer < 0) | (cwp < 0) | (ctp == 0)
+                for arr in (cot, cer, cwp, uct['cot'], uct['cer'],
+                            uct['cwp']):
+                    arr[bad] = 0.0
+                pcl = np.zeros(npx, np.uint8)
+                cot_p = rd('Cloud_Optical_Thickness_PCL')
+                cer_p = rd('Cloud_Effective_Radius_PCL')
+                cwp_p = rd('Cloud_Water_Path_PCL')
+                if cot_p is not None and cer_p is not None:
+                    cot_p = np.nan_to_num(cot_p, nan=-1.0)
+                    cer_p = np.nan_to_num(cer_p, nan=-1.0)
+                    fill = ((cot == 0) | (cer == 0)) & (cot_p > 0) \
+                        & (cer_p > 0)
+                    if cwp_p is not None:
+                        cwp_p = np.nan_to_num(cwp_p, nan=-1.0)
+                        fill &= cwp_p > 0
+                    pcl[fill] = 1
+                    cot[fill] = cot_p[fill]
+                    cer[fill] = cer_p[fill]
+                    cwp[fill] = cwp_p[fill] if cwp_p is not None \
+                        else 2.0 / 3.0 * cot_p[fill] * cer_p[fill]
+                for k, v in (('lon', lon[sel]), ('lat', lat[sel]),
+                             ('ctp', ctp), ('cth', cth), ('cot', cot),
+                             ('cer', cer), ('cwp', cwp),
+                             ('cot_uct', cot * uct['cot'] / 100.0),
+                             ('cer_uct', cer * uct['cer'] / 100.0),
+                             ('cwp_uct', cwp * uct['cwp'] / 100.0),
+                             ('pcl', pcl)):
+                    cols[k].append(v)
             finally:
                 f.close()
-        lon = np.concatenate(lons); lat = np.concatenate(lats)
-        cot = np.nan_to_num(np.concatenate(cots), nan=0.0)
-        cer = np.nan_to_num(np.concatenate(cers), nan=0.0)
-        self.data = {
-            'lon': _entry(lon, 'Longitude', 'deg'),
-            'lat': _entry(lat, 'Latitude', 'deg'),
-            'cot': _entry(cot, 'Cloud optical thickness'),
-            'cer': _entry(cer, 'Cloud effective radius', 'um'),
-        }
+        cat = {k: np.concatenate(v) for k, v in cols.items()}
+        names = {'ctp': 'Cloud phase (optical properties)',
+                 'cth': 'Cloud top height', 'cot': 'Cloud optical thickness',
+                 'cer': 'Cloud effective radius', 'cwp': 'Cloud water path',
+                 'cot_uct': 'COT uncertainty', 'cer_uct': 'CER uncertainty',
+                 'cwp_uct': 'CWP uncertainty',
+                 'pcl': 'PCL fill-in flag'}
+        units = {'cth': 'km', 'cer': 'um', 'cwp': 'g/m^2', 'cer_uct': 'um',
+                 'cwp_uct': 'g/m^2'}
+        self.data = {'lon': _entry(cat['lon'], 'Longitude', 'deg'),
+                     'lat': _entry(cat['lat'], 'Latitude', 'deg')}
+        for k in names:
+            self.data[k] = _entry(cat[k], names[k], units.get(k, 'N/A'))
         if extent is not None:
-            lon2, lat2, cot2 = grid_by_extent(lon, lat, cot, extent, nx=nx, ny=ny)
-            _, _, cer2 = grid_by_extent(lon, lat, cer, extent, nx=nx, ny=ny)
+            lon2, lat2, cot2 = grid_by_extent(cat['lon'], cat['lat'],
+                                              cat['cot'], extent, nx=nx, ny=ny)
+            _, _, cer2 = grid_by_extent(cat['lon'], cat['lat'], cat['cer'],
+                                        extent, nx=nx, ny=ny)
             self.data['lon_2d'] = _entry(lon2, 'Gridded longitude', 'deg')
             self.data['lat_2d'] = _entry(lat2, 'Gridded latitude', 'deg')
             self.data['cot_2d'] = _entry(np.nan_to_num(cot2), 'Gridded COT')
-            self.data['cer_2d'] = _entry(np.nan_to_num(cer2), 'Gridded CER', 'um')
+            self.data['cer_2d'] = _entry(np.nan_to_num(cer2), 'Gridded CER',
+                                         'um')
+
+    def _read_mask(self, fnames, extent, quality_assurance):
+        cols = {k: [] for k in ('lon', 'lat', 'cloud_mask_flag',
+                                'day_night_flag', 'sunglint_flag',
+                                'snow_ice_flag', 'land_water_cat',
+                                'fov_qa_cat')}
+        qa_cols = {}
+        for fname in np.atleast_1d(fnames):
+            f = open_any(fname)
+            try:
+                lon, _ = f.var('geolocation_data/longitude')
+                lat, _ = f.var('geolocation_data/latitude')
+                sel = _subset(lon, lat, extent)
+                cm, _ = f.var('geophysical_data/Cloud_Mask')
+                b0 = np.asarray(cm)[..., 0][sel] if np.ndim(cm) == 3 \
+                    else np.asarray(cm)[sel]
+                # byte-0 decode (reference extract_data, viirs.py:549-568)
+                cols['lon'].append(lon[sel])
+                cols['lat'].append(lat[sel])
+                cols['land_water_cat'].append(_bits(b0, 0, 2))
+                cols['snow_ice_flag'].append(_bits(b0, 2))
+                cols['sunglint_flag'].append(_bits(b0, 3))
+                cols['day_night_flag'].append(_bits(b0, 4))
+                cols['fov_qa_cat'].append(_bits(b0, 5, 2))
+                cols['cloud_mask_flag'].append(_bits(b0, 7))
+                if quality_assurance > 0:
+                    qa, _ = f.var('geophysical_data/Quality_Assurance')
+                    qa = np.asarray(qa)
+                    q0 = qa[..., 0][sel]
+                    q1 = qa[..., 1][sel]
+                    # QA byte 0: retrieval outcome/confidence/availability
+                    # (reference quality_assurance_byte0, viirs.py:571-596)
+                    fields = {'ret_1621_qa': _bits(q0, 0),
+                              'ret_1621_conf_qa': _bits(q0, 1, 2),
+                              'ret_1621_data_qa': _bits(q0, 3),
+                              'ret_std_qa': _bits(q0, 4),
+                              'ret_std_conf_qa': _bits(q0, 5, 2),
+                              'ret_std_data_qa': _bits(q0, 7)}
+                    if quality_assurance > 1:
+                        # QA byte 1 (quality_assurance_byte1, :599-620)
+                        fields.update(bowtie_qa=_bits(q1, 0),
+                                      cot_oob_qa=_bits(q1, 1),
+                                      cot_bands_qa=_bits(q1, 2, 2),
+                                      rayleigh_qa=_bits(q1, 4),
+                                      cld_type_qa=_bits(q1, 5, 3))
+                    for k, v in fields.items():
+                        qa_cols.setdefault(k, []).append(v)
+            finally:
+                f.close()
+        names = {
+            'cloud_mask_flag': 'Cloud mask determined (0=not, 1=determined)',
+            'fov_qa_cat': 'FOV category (0=cloudy..3=confident clear)',
+            'day_night_flag': 'Day/night (0=night 1=day)',
+            'sunglint_flag': 'Sunglint (0=in path 1=not)',
+            'snow_ice_flag': 'Snow/ice processing (0=snow/ice 1=no)',
+            'land_water_cat': 'Land/water (0=water..3=land)'}
+        self.data = {'lon': _entry(np.concatenate(cols['lon']),
+                                   'Longitude', 'deg'),
+                     'lat': _entry(np.concatenate(cols['lat']),
+                                   'Latitude', 'deg')}
+        for k, nm in names.items():
+            self.data[k] = _entry(np.concatenate(cols[k]), nm)
+        for k, v in qa_cols.items():
+            self.qa[k] = _entry(np.concatenate(v), k.replace('_', ' '))
 
 
 class viirs_09:

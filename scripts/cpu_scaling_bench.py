@@ -14,7 +14,9 @@ Two efficiency numbers per point:
   devices measures core oversubscription, not the algorithm — it is reported
   for completeness only.
 * algorithmic work/photon = (total kernel iterations summed over devices) *
-  (lanes per device) / photons launched.  On real chips wall time is
+  (lanes per device) / photons launched — since round 5 measured as true
+  lane-iterations (Tallies.lane_iters; drain compaction shrinks the drain
+  batch, so steps*batch would overcount).  On real chips wall time is
   steps * ms/step(B) with ms/step set by B (BENCH_NOTES cost model), so the
   work/photon ratio n=1 vs n=N IS the hardware-independent weak-scaling
   efficiency: it captures migration rounds, frozen-lane idling and drain
@@ -22,6 +24,10 @@ Two efficiency numbers per point:
   superstep window against ~4.7 ms/step of compute at production batch).
 
 Usage: python scripts/cpu_scaling_bench.py [--base-photons 150000]
+Slab-width study (VERDICT r4 task 2 — production-width slabs):
+    python scripts/cpu_scaling_bench.py --nx 768 --ny 48 \
+        --strategies decomp --devices 1,2,4,8 --base-photons 40000
+    => 768/384/192/96-column slabs at n=1/2/4/8.
 """
 
 import argparse
@@ -40,7 +46,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_scene_mid(nx=96, ny=96):
+def build_scene_mid(nx=96, ny=96, trunc=20.0):
     from er3t_tpu.pre.atm import atm_atmmod
     from er3t_tpu.pre.abs import abs_synthetic
     from er3t_tpu.pre.cld import cld_gen_hem
@@ -56,7 +62,7 @@ def build_scene_mid(nx=96, ny=96):
     pha = pha_mie_wc(650.0)
     scene, st = build_scene(atm, ab, cld=cld, pha=pha, surface=0.03,
                             solar_zenith_angle=30.0, solar_azimuth_angle=45.0,
-                            forward_trunc_deg=20.0)
+                            forward_trunc_deg=trunc)
     return ab, scene, st
 
 
@@ -65,6 +71,10 @@ def main():
     ap.add_argument('--base-photons', type=int, default=150_000)
     ap.add_argument('--batch', type=int, default=1 << 12)
     ap.add_argument('--reps', type=int, default=2)
+    ap.add_argument('--nx', type=int, default=96)
+    ap.add_argument('--ny', type=int, default=96)
+    ap.add_argument('--strategies', default='photon,decomp')
+    ap.add_argument('--devices', default='1,2,4,8')
     args = ap.parse_args()
 
     import jax
@@ -75,16 +85,16 @@ def main():
     from er3t_tpu.rtm.mc import SolverConfig
     from er3t_tpu.rtm.out import spectral_factors
 
-    ab, scene, st = build_scene_mid()
+    ab, scene, st = build_scene_mid(nx=args.nx, ny=args.ny)
     factors, _ = spectral_factors(ab, nz_out=1)
     rad_w = factors[0]
     cfg = SolverConfig(target='radiance', batch=args.batch, n_scat_max=600,
                        tile_size=8)
 
     results = {}
-    for strat in ('photon', 'decomp'):
+    for strat in args.strategies.split(','):
         rows = []
-        for n in (1, 2, 4, 8):
+        for n in [int(v) for v in args.devices.split(',')]:
             mesh = make_mesh(n, decomp=(n if strat == 'decomp' else 1))
             n_ph = args.base_photons * n
             best_dt, tal = None, None
@@ -103,11 +113,14 @@ def main():
                 if rep > 0:
                     best_dt = dt if best_dt is None else min(best_dt, dt)
             steps_total = int(tal.n_steps)        # summed over devices
-            work = steps_total * args.batch / max(n_l, 1)
+            # true lane-iteration work (drain compaction shrinks the
+            # batch in the tail; steps*batch would overcount it)
+            work = int(tal.lane_iters) / max(n_l, 1)
             rows.append({'n_dev': n, 'photons': n_ph, 'launched': n_l,
                          'wall_s': round(best_dt, 2),
                          'photons_per_s': round(n_l / best_dt, 1),
                          'steps_total': steps_total,
+                         'slab_cols': st.nx // n if strat == 'decomp' else st.nx,
                          'work_per_photon': round(work, 2)})
             print(f'# {strat} n={n}: {n_l} ph in {best_dt:.1f}s '
                   f'({n_l / best_dt / 1e3:.1f}k ph/s), '

@@ -44,6 +44,102 @@ def viirs_file(tmp_path):
     return fname
 
 
+@pytest.fixture()
+def viirs_file_full(tmp_path):
+    """Full-SDS CLDPROP granule: COP + PCL + uncertainties + Cloud_Mask +
+    Quality_Assurance bytes (synthetic; exercises the reference read_cop/
+    read_mask paths, viirs.py:476-919)."""
+    fname = os.path.join(tmp_path, 'CLDPROP_L2_VIIRS_full.nc')
+    ny, nx = 20, 16
+    lon, lat = np.meshgrid(np.linspace(-60.5, -59.5, nx),
+                           np.linspace(14.5, 15.5, ny))
+    i16 = lambda a: np.asarray(a, np.int16)
+    cot = np.zeros((ny, nx)); cot[4:10, 4:10] = 15.0
+    cer = np.where(cot > 0, 12.0, 0.0)
+    cwp = np.where(cot > 0, 120.0, 0.0)
+    # PCL-only pixel at (2, 2)
+    cot_p = np.zeros((ny, nx)); cot_p[2, 2] = 5.0
+    cer_p = np.zeros((ny, nx)); cer_p[2, 2] = 9.0
+    cwp_p = np.zeros((ny, nx)); cwp_p[2, 2] = 30.0
+    ctp = np.where(cot + cot_p > 0, 2, 1).astype(np.int16)   # water cloud
+    cth = np.where(cot + cot_p > 0, 2500.0, 0.0)             # meters
+    # cloud-mask byte 0 (MSB first): land_water(2) snow(1) glint(1)
+    # day(1) fov(2) determined(1)
+    b0 = np.full((ny, nx), 0b11001101, np.uint8)   # land, day, cloudy, det.
+    qa0 = np.full((ny, nx), 0b01011110, np.uint8)
+    qa1 = np.full((ny, nx), 0b10010011, np.uint8)
+    with h5py.File(fname, 'w') as f:
+        g = f.create_group('geolocation_data')
+        g.create_dataset('longitude', data=lon.astype(np.float32))
+        g.create_dataset('latitude', data=lat.astype(np.float32))
+        gp = f.create_group('geophysical_data')
+        for name, arr, sf in (
+                ('Cloud_Optical_Thickness', i16(cot * 100), 0.01),
+                ('Cloud_Effective_Radius', i16(cer * 100), 0.01),
+                ('Cloud_Water_Path', i16(cwp), 1.0),
+                ('Cloud_Optical_Thickness_PCL', i16(cot_p * 100), 0.01),
+                ('Cloud_Effective_Radius_PCL', i16(cer_p * 100), 0.01),
+                ('Cloud_Water_Path_PCL', i16(cwp_p), 1.0),
+                ('Cloud_Optical_Thickness_Uncertainty', i16(cot * 100), 0.1),
+                ('Cloud_Effective_Radius_Uncertainty', i16(cer * 100), 0.1),
+                ('Cloud_Water_Path_Uncertainty', i16(cwp), 0.1),
+                ('Cloud_Phase_Optical_Properties', ctp, 1.0),
+                ('Cloud_Top_Height', i16(cth), 1.0)):
+            d = gp.create_dataset(name, data=arr)
+            d.attrs['scale_factor'] = sf
+            d.attrs['add_offset'] = 0.0
+            d.attrs['_FillValue'] = np.int16(-999)
+        gp.create_dataset('Cloud_Mask', data=b0[..., None])
+        gp.create_dataset('Quality_Assurance',
+                          data=np.stack([qa0, qa1], axis=-1))
+    return fname
+
+
+def test_viirs_cldprop_full_sds(viirs_file_full):
+    """Full COP depth: cth/cwp/uncertainties + PCL fill-in flagged."""
+    obj = viirs_cldprop_l2([viirs_file_full])
+    d = obj.data
+    assert d['cwp']['data'].max() == pytest.approx(120.0, rel=0.01)
+    assert d['cth']['data'].max() == pytest.approx(2.5, rel=0.01)   # km
+    # PCL pixel filled in and flagged
+    pcl = d['pcl']['data']
+    assert pcl.sum() == 1
+    assert d['cot']['data'][pcl == 1] == pytest.approx(5.0, rel=0.01)
+    assert d['cwp']['data'][pcl == 1] == pytest.approx(30.0, rel=0.01)
+    # uncertainties are absolute (value * percent / 100)
+    cu = d['cot_uct']['data']
+    assert cu.max() == pytest.approx(15.0 * (15.0 * 10) / 100.0, rel=0.02)
+
+
+def test_viirs_cldprop_mask_and_qa(viirs_file_full):
+    """Cloud_Mask byte-0 decode + QA byte 0/1 decode (reference
+    extract_data / quality_assurance_byte0/1, viirs.py:549-620)."""
+    obj = viirs_cldprop_l2([viirs_file_full], maskvars=True,
+                           quality_assurance=2)
+    d = obj.data
+    # 0b11001101: land_water=3, snow=0, glint=0, day=1, fov=2, det=1
+    assert np.all(d['land_water_cat']['data'] == 3)
+    assert np.all(d['snow_ice_flag']['data'] == 0)
+    assert np.all(d['sunglint_flag']['data'] == 0)
+    assert np.all(d['day_night_flag']['data'] == 1)
+    assert np.all(d['fov_qa_cat']['data'] == 2)
+    assert np.all(d['cloud_mask_flag']['data'] == 1)
+    # qa0 = 0b01011110: ret_1621=0, conf=2, data=1, ret_std=1, conf=3, dat=0
+    assert np.all(obj.qa['ret_1621_qa']['data'] == 0)
+    assert np.all(obj.qa['ret_1621_conf_qa']['data'] == 2)
+    assert np.all(obj.qa['ret_1621_data_qa']['data'] == 1)
+    assert np.all(obj.qa['ret_std_qa']['data'] == 1)
+    assert np.all(obj.qa['ret_std_conf_qa']['data'] == 3)
+    assert np.all(obj.qa['ret_std_data_qa']['data'] == 0)
+    # qa1 = 0b10010011: bowtie=1, cot_oob=0, bands=0b01=1, rayleigh=0,
+    # cld_type=0b011=3
+    assert np.all(obj.qa['bowtie_qa']['data'] == 1)
+    assert np.all(obj.qa['cot_oob_qa']['data'] == 0)
+    assert np.all(obj.qa['cot_bands_qa']['data'] == 1)
+    assert np.all(obj.qa['rayleigh_qa']['data'] == 0)
+    assert np.all(obj.qa['cld_type_qa']['data'] == 3)
+
+
 def test_viirs_reader_and_gridding(viirs_file):
     obj = viirs_cldprop_l2([viirs_file], extent=(-60.5, -59.5, 14.5, 15.5),
                            nx=30, ny=40)
