@@ -179,6 +179,24 @@ class SolverConfig:
     #                                     cheaper gathers for clustered
     #                                     indices, BENCH_NOTES round-3 cost
     #                                     model).  Overrides qmc_launch's map.
+    cam_importance_sigma: float = 0.0  # camera radiance only: >0 launches
+    #                                     photons from a 50/50 mixture of
+    #                                     uniform and a wrapped Gaussian of
+    #                                     this std [km] centered on the
+    #                                     camera column, with exact
+    #                                     importance weights (launch weight
+    #                                     = uniform pdf / mixture pdf <= 2).
+    #                                     MEASURED DEAD END on broken-cloud
+    #                                     sky scenes (r5, scripts/
+    #                                     cam_importance_ab.py): ~1.9x
+    #                                     pixel-variance LOSS at both 85-
+    #                                     and 30-deg FOV, sigma 1-4 km —
+    #                                     deposits decorrelate from the
+    #                                     launch column, so the weight
+    #                                     dispersion (E[w^2] -> 2) is pure
+    #                                     cost (same physics as the r4
+    #                                     firstdep finding).  Unbiased
+    #                                     opt-in; single-device path only
     drain_compact: bool = True         # flight kernel: once the launch
     #                                     quota is exhausted and survivors
     #                                     fit, compact lanes into an 8x

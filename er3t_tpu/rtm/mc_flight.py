@@ -318,7 +318,10 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
 
     ablate = set(cfg.ablate.split(',')) if cfg.ablate else set()
 
-    strat_launch = cfg.qmc_launch or cfg.launch_coherent
+    cam_importance = (camera and cfg.cam_importance_sigma > 0
+                      and radiance and slab is None)
+    strat_launch = (cfg.qmc_launch or cfg.launch_coherent) \
+        and not cam_importance
     if strat_launch:
         # Stratified-jitter launch: the photon's launch index maps bijectively
         # (multiplicative shuffle + random per-run offset) onto a grid cell of
@@ -452,13 +455,47 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         else:
             x_sp = x_off + u[0] * lx_loc
             y_sp = u[1] * ly
+        w_sp = jnp.ones(B, _F)
+        if cam_importance:
+            # importance-sampled launch toward the camera column (see
+            # SolverConfig.cam_importance_sigma): 50/50 mixture of uniform
+            # and a wrapped isotropic Gaussian at the camera; the launch
+            # weight p_uniform / p_mixture (<= 2) makes the estimator
+            # exactly unbiased.  Deviates come from a dedicated substream
+            # (u[12]/u[13] serve the aperture sampler in the SAME
+            # iteration a spawned lane first collides in).
+            u_ci = jax.random.uniform(
+                jax.random.fold_in(key, c.step + (1 << 29)), (3, B),
+                dtype=_F, minval=1e-7, maxval=1.0 - 1e-7)
+            sig_ci = cfg.cam_importance_sigma
+            cam_x0 = cfg.cam_xpos * lx_glob
+            cam_y0 = cfg.cam_ypos * ly
+            r_g = sig_ci * jnp.sqrt(-2.0 * jnp.log(u_ci[0]))
+            th_g = (2.0 * jnp.pi) * u_ci[1]
+            pick_g = u_ci[2] < 0.5
+            x_sp = jnp.where(pick_g, (cam_x0 + r_g * jnp.cos(th_g))
+                             % lx_glob, x_sp)
+            y_sp = jnp.where(pick_g, (cam_y0 + r_g * jnp.sin(th_g))
+                             % ly, y_sp)
+            # wrapped-Gaussian pdf: nearest 3 images per axis (exact to
+            # machine precision for sigma <= domain/4)
+            inv_s2 = 1.0 / (2.0 * sig_ci * sig_ci)
+            nrm = 1.0 / (np.sqrt(2.0 * np.pi) * sig_ci)
+
+            def _pdf_w(d, period):
+                d = (d + 0.5 * period) % period - 0.5 * period
+                return sum(jnp.exp(-(d + k * period) ** 2 * inv_s2)
+                           for k in (-1.0, 0.0, 1.0)) * nrm
+            p_g = _pdf_w(x_sp - cam_x0, lx_glob) * _pdf_w(y_sp - cam_y0, ly)
+            p_u = 1.0 / (lx_glob * ly)
+            w_sp = p_u / (0.5 * p_u + 0.5 * p_g)
         x = jnp.where(spawn, (x_sp - x_drift0) % lx_glob, c.x)
         y = jnp.where(spawn, y_sp, c.y)
         z = jnp.where(spawn, z_top, c.z)
         ux = jnp.where(spawn, u0x, c.ux)
         uy = jnp.where(spawn, u0y, c.uy)
         uz = jnp.where(spawn, u0z, c.uz)
-        wsc = jnp.where(spawn, 1.0, c.wsc)
+        wsc = jnp.where(spawn, w_sp, c.wsc)
         labs = jnp.where(spawn[None, :], 0.0, c.labs)
         tau = jnp.where(spawn, -jnp.log(u[2]), c.tau)
         nscat = jnp.where(spawn, 0, c.nscat)
@@ -1318,14 +1355,22 @@ def _sort_lanes(c: FlightCarry, st: SceneStatic) -> FlightCarry:
 
 
 def transport_flight(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
-                     n_photon: int, key: jax.Array,
+                     n_photon, key: jax.Array,
                      flux_w=None, rad_w=None) -> Tallies:
+    """``n_photon`` may be a python int OR a traced int32 scalar — nothing
+    shape-depends on it (spawn quota, loop conditions and the step cap are
+    all value-level), so one compiled kernel serves every photon count of
+    a given (scene shapes, cfg, batch).  This removes an entire recompile
+    class: remainder chunks in the solver and the 16 per-g budgets of the
+    independent-protocol noise phase each cost a fresh multi-minute
+    remote compile when n_photon was a static argument."""
+    n_photon = jnp.asarray(n_photon, jnp.int32)
     body, cond, carry0 = make_flight_kernel(scene, st, cfg, n_photon, key,
                                             flux_w=flux_w, rad_w=rad_w)
     if cfg.max_events:
-        max_steps = cfg.max_events
+        max_steps = jnp.asarray(cfg.max_events, jnp.int32)
     else:
-        max_steps = int(np.ceil(n_photon / cfg.batch + 1) * 400)
+        max_steps = ((n_photon // cfg.batch + 2) * 400).astype(jnp.int32)
 
     def cond_capped(c):
         return cond(c) & (c.step < max_steps)
@@ -1442,11 +1487,12 @@ def run_transport_flight(scene, static, cfg, n_photon, seed=0, rng_impl='rbg',
     enabling the same contraction for radiance images (Tallies.rad gets a
     singleton g axis).
     """
-    fn = jax.jit(transport_flight, static_argnums=(1, 2, 3))
+    fn = jax.jit(transport_flight, static_argnums=(1, 2))
     try:
         key = jax.random.key(seed, impl=rng_impl)
     except Exception:
         key = jax.random.key(seed)
     fw = None if flux_w is None else jnp.asarray(flux_w, _F)
     rw = None if rad_w is None else jnp.asarray(rad_w, _F)
-    return fn(scene, static, cfg, int(n_photon), key, fw, rw)
+    return fn(scene, static, cfg, jnp.asarray(int(n_photon), jnp.int32),
+              key, fw, rw)

@@ -104,3 +104,30 @@ def test_finite_aperture():
     m0 = float(np.asarray(t0.rad).sum() / int(t0.n_launched))
     m1 = float(np.asarray(t1.rad).sum() / int(t1.n_launched))
     assert m1 == pytest.approx(m0, rel=0.05)
+
+
+def test_camera_importance_launch_unbiased():
+    """cam_importance_sigma (measured variance dead end, BENCH_NOTES r5,
+    kept as an exact opt-in): the 50/50 mixture launch with importance
+    weights must reproduce the uniform-launch image mean within MC noise,
+    and the launch weights must average to ~1."""
+    from er3t_tpu.pre.cld import cld_gen_hom
+
+    atm = atm_atmmod(np.linspace(0, 20, 21))
+    ab = abs_synthetic(650.0, atm)
+    cld = cld_gen_hom(nx=8, ny=8, nz=2, dx=0.5, dy=0.5, cot0=6.0, cer0=10.0,
+                      cloud_base=1.0, cloud_top=3.0)
+    scn, st = build_scene(atm, ab, cld=cld, surface=0.1,
+                          solar_zenith_angle=30.0)
+    kw = dict(target='radiance', batch=1 << 12, sensor_type='camera',
+              cam_npix=8, cam_qmax=80.0, n_scat_max=300)
+    means = {}
+    for sig in (0.0, 1.0):
+        acc, n = 0.0, 0
+        for s in range(3):
+            cfg = SolverConfig(cam_importance_sigma=sig, **kw)
+            tal = run_transport_flight(scn, st, cfg, 120000, seed=50 + s)
+            acc += float((np.asarray(tal.rad) @ ab.weight).sum())
+            n += int(tal.n_launched)
+        means[sig] = acc / n
+    assert means[1.0] == pytest.approx(means[0.0], rel=0.06)
