@@ -83,7 +83,10 @@ def main():
                                solar_azimuth_angle=45.0,
                                photons=args.photons, n_run=1, seed=seed,
                                forward_trunc_deg=5.0)
-            for c, r in tiles(cld.cot_2d, res['rad'], size=64 // cf):
+            # 64x64-PIXEL tiles at every coarsening (the reference mixes
+            # coarsenings at constant tile pixel size — a coarse tile just
+            # covers a larger footprint; projects/05 run_mca_coarse_case)
+            for c, r in tiles(cld.cot_2d, res['rad'], size=64):
                 all_cot.append(c)
                 all_rad.append(r)
             LOG.toc('scene', n_items=args.photons, unit='photons')
