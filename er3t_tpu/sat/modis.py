@@ -54,35 +54,53 @@ def _subset(lon, lat, extent):
 
 
 class modis_03:
-    """MOD03/MYD03 geolocation."""
+    """MOD03/MYD03 geolocation (reference modis.py:91-250).
+
+    ``vnames``: additional SDS names read verbatim into ``self.data``
+    (lower-cased keys, the reference's ``read_vars``).  ``keep_dims=True``
+    retains the 2-D granule arrays (the extent mask is stored on
+    ``self.logic[fname]``) instead of applying the geomask."""
 
     ID = 'MODIS Geolocation'
 
-    def __init__(self, fnames, extent=None):
+    _ANGLES = (('sza', 'SolarZenith', 'Solar zenith'),
+               ('saa', 'SolarAzimuth', 'Solar azimuth'),
+               ('vza', 'SensorZenith', 'Sensor zenith'),
+               ('vaa', 'SensorAzimuth', 'Sensor azimuth'))
+
+    def __init__(self, fnames, extent=None, vnames=(), keep_dims=False):
         self.extent = extent
-        lons, lats, szas, saas, vzas, vaas = [], [], [], [], [], []
+        self.logic = {}
+        cols = {k: [] for k, _, _ in self._ANGLES}
+        cols.update(lon=[], lat=[])
+        extra = {v: [] for v in vnames}
         for fname in np.atleast_1d(fnames):
             f = open_any(fname)
             try:
                 lon, _ = f.var('Longitude')
                 lat, _ = f.var('Latitude')
                 sel = _subset(lon, lat, extent)
-                lons.append(lon[sel])
-                lats.append(lat[sel])
-                for tgt, name in ((szas, 'SolarZenith'), (saas, 'SolarAzimuth'),
-                                  (vzas, 'SensorZenith'), (vaas, 'SensorAzimuth')):
-                    d, a = f.var(name)
-                    tgt.append(apply_scaling(d, a)[sel])
+                self.logic[fname] = {'1km': sel}
+                pick = (lambda a: a) if keep_dims else (lambda a: a[sel])
+                cols['lon'].append(pick(lon))
+                cols['lat'].append(pick(lat))
+                for key, sds, _ in self._ANGLES:
+                    d, a = f.var(sds)
+                    cols[key].append(pick(apply_scaling(d, a)))
+                for v in vnames:
+                    d, a = f.var(v)
+                    extra[v].append(pick(apply_scaling(d, a)))
             finally:
                 f.close()
+        cat = (np.stack if keep_dims else np.concatenate)
         self.data = {
-            'lon': _entry(np.concatenate(lons), 'Longitude', 'deg'),
-            'lat': _entry(np.concatenate(lats), 'Latitude', 'deg'),
-            'sza': _entry(np.concatenate(szas), 'Solar zenith', 'deg'),
-            'saa': _entry(np.concatenate(saas), 'Solar azimuth', 'deg'),
-            'vza': _entry(np.concatenate(vzas), 'Sensor zenith', 'deg'),
-            'vaa': _entry(np.concatenate(vaas), 'Sensor azimuth', 'deg'),
+            'lon': _entry(cat(cols['lon']), 'Longitude', 'deg'),
+            'lat': _entry(cat(cols['lat']), 'Latitude', 'deg'),
         }
+        for key, _, name in self._ANGLES:
+            self.data[key] = _entry(cat(cols[key]), name, 'deg')
+        for v in vnames:
+            self.data[v.lower()] = _entry(cat(extra[v]), v)
 
 
 class modis_l1b:

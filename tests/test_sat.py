@@ -727,3 +727,30 @@ def test_nsidc_oco2_downloaders_offline():
     assert '/OCO2_L2_Lite_FP.11.1r/2019/oco2' in u2[0]
     with pytest.raises(ValueError, match='unsupported'):
         download_oco2_https(dt, 'OCO2_Bogus.1r', run=False, html_text=html_oco)
+
+
+def test_modis_03_vnames_keepdims(tmp_path):
+    """modis_03 read_vars + keep_dims conveniences (reference
+    modis.py:91-250): extra SDSes land in self.data under lower-cased
+    keys; keep_dims retains the 2-D granule with the mask on
+    self.logic."""
+    from er3t_tpu.sat.modis import modis_03
+    fname = os.path.join(tmp_path, 'MOD03.h5')
+    ny, nx = 10, 8
+    lon, lat = np.meshgrid(np.linspace(-60.4, -59.6, nx),
+                           np.linspace(14.6, 15.4, ny))
+    with h5py.File(fname, 'w') as f:
+        f.create_dataset('Longitude', data=lon.astype(np.float32))
+        f.create_dataset('Latitude', data=lat.astype(np.float32))
+        for k in ('SolarZenith', 'SolarAzimuth', 'SensorZenith',
+                  'SensorAzimuth'):
+            d = f.create_dataset(k, data=np.full((ny, nx), 3000, np.int16))
+            d.attrs['scale_factor'] = 0.01
+        f.create_dataset('Height', data=np.full((ny, nx), 123.0, np.float32))
+    obj = modis_03([fname], extent=(-61, -59, 14, 16), vnames=['Height'])
+    assert obj.data['height']['data'].shape == (ny * nx,)
+    assert obj.data['height']['data'][0] == pytest.approx(123.0)
+    assert obj.data['vza']['data'][0] == pytest.approx(30.0)
+    obj2 = modis_03([fname], extent=(-61, -59, 14, 16), keep_dims=True)
+    assert obj2.data['lon']['data'].shape == (1, ny, nx)
+    assert obj2.logic[fname]['1km'].shape == (ny, nx)
