@@ -35,7 +35,11 @@ class viirs_03:
     Full angle set: solar AND sensor zenith/azimuth plus the land/water
     mask and quality flag when present (the reference reads all of
     ``geolocation_data``'s angle SDSes; vza/vaa feed the parallax
-    correction, apps/cldpos.py)."""
+    correction, apps/cldpos.py).  ``vnames``: extra ``geolocation_data``
+    SDS names read verbatim into ``self.data`` (lower-cased keys, the
+    reference's ``read_vars``).  ``keep_dims=True`` retains the 2-D
+    granule arrays; the extent mask is stored on ``self.logic[fname]``
+    either way so downstream readers (cldprop ``f03=``) can reuse it."""
 
     ID = 'VIIRS Geolocation'
 
@@ -44,36 +48,50 @@ class viirs_03:
                ('vza', 'sensor_zenith', 'Sensor zenith'),
                ('vaa', 'sensor_azimuth', 'Sensor azimuth'))
 
-    def __init__(self, fnames, extent=None):
+    def __init__(self, fnames, extent=None, vnames=(), keep_dims=False):
+        self.extent = extent
+        self.keep_dims = keep_dims
+        self.logic = {}
         cols = {k: [] for k, _, _ in self._ANGLES}
         cols.update(lon=[], lat=[], land_water_mask=[])
+        extra = {v: [] for v in vnames}
         for fname in np.atleast_1d(fnames):
             f = open_any(fname)
             try:
                 lon, _ = f.var('geolocation_data/longitude')
                 lat, _ = f.var('geolocation_data/latitude')
                 sel = _subset(lon, lat, extent)
-                cols['lon'].append(lon[sel])
-                cols['lat'].append(lat[sel])
+                # keyed by the granule time pattern so a sibling product
+                # (cldprop f03=) of the same acquisition can look it up
+                self.logic[get_fname_pattern(fname)] = {'mask': sel}
+                pick = (lambda a: a) if keep_dims else (lambda a: a[sel])
+                cols['lon'].append(pick(lon))
+                cols['lat'].append(pick(lat))
                 for key, sds, _ in self._ANGLES:
                     d, a = f.var(f'geolocation_data/{sds}')
-                    cols[key].append(apply_scaling(d, a)[sel])
+                    cols[key].append(pick(apply_scaling(d, a)))
                 try:
                     lw, _ = f.var('geolocation_data/land_water_mask')
-                    cols['land_water_mask'].append(np.asarray(lw)[sel])
+                    cols['land_water_mask'].append(pick(np.asarray(lw)))
                 except Exception:
                     pass
+                for v in vnames:
+                    d, a = f.var(f'geolocation_data/{v}')
+                    extra[v].append(pick(apply_scaling(d, a)))
             finally:
                 f.close()
+        cat = (np.stack if keep_dims else np.concatenate)
         self.data = {
-            'lon': _entry(np.concatenate(cols['lon']), 'Longitude', 'deg'),
-            'lat': _entry(np.concatenate(cols['lat']), 'Latitude', 'deg'),
+            'lon': _entry(cat(cols['lon']), 'Longitude', 'deg'),
+            'lat': _entry(cat(cols['lat']), 'Latitude', 'deg'),
         }
         for key, _, name in self._ANGLES:
-            self.data[key] = _entry(np.concatenate(cols[key]), name, 'deg')
+            self.data[key] = _entry(cat(cols[key]), name, 'deg')
         if cols['land_water_mask']:
             self.data['land_water_mask'] = _entry(
-                np.concatenate(cols['land_water_mask']), 'Land/water mask')
+                cat(cols['land_water_mask']), 'Land/water mask')
+        for v in vnames:
+            self.data[v.lower()] = _entry(cat(extra[v]), v)
 
 
 class viirs_l1b:
@@ -159,40 +177,63 @@ class viirs_cldprop_l2:
     sunglint_flag, snow_ice_flag, land_water_cat, fov_qa_cat) and, with
     ``quality_assurance>0``, the Quality_Assurance bytes 0-1 into
     ``self.qa`` (ret_std/1621 outcome + confidence + data availability;
-    cld_type/rayleigh/cot_bands/cot_oob/bowtie)."""
+    cld_type/rayleigh/cot_bands/cot_oob/bowtie).
+
+    ``keep_dims=True`` retains the 2-D granule arrays (stacked along a
+    leading file axis; the extent mask is stored on ``self.logic[fname]``);
+    ``f03=`` reuses a ``viirs_03`` object's geolocation mask instead of
+    re-deriving it (reference viirs.py:530-545, 649-660)."""
 
     ID = 'VIIRS Cloud Properties'
 
-    def __init__(self, fnames, extent=None, nx=None, ny=None,
-                 maskvars=False, quality_assurance=0):
+    def __init__(self, fnames, f03=None, extent=None, nx=None, ny=None,
+                 maskvars=False, quality_assurance=0, keep_dims=False):
         self.qa = {}
+        self.logic = {}
+        self.keep_dims = keep_dims
+        self.f03 = f03
         if maskvars:
             self._read_mask(fnames, extent, quality_assurance)
         else:
             self._read_cop(fnames, extent, nx, ny)
 
+    def _mask(self, f, fname, extent):
+        """Extent mask: reuse the viirs_03 object's stored mask when given
+        (the reference's ``f03=`` path), else compute from this file's own
+        geolocation."""
+        lon, _ = f.var('geolocation_data/longitude')
+        lat, _ = f.var('geolocation_data/latitude')
+        pat = get_fname_pattern(fname)
+        if self.f03 is not None and pat in getattr(self.f03, 'logic', {}):
+            sel = self.f03.logic[pat]['mask']
+        else:
+            sel = _subset(lon, lat, extent)
+        self.logic[pat] = {'mask': sel}
+        return np.asarray(lon), np.asarray(lat), sel
+
     def _read_cop(self, fnames, extent, nx, ny):
+        keep = self.keep_dims
         cols = {k: [] for k in ('lon', 'lat', 'ctp', 'cth', 'cot', 'cer',
                                 'cwp', 'cot_uct', 'cer_uct', 'cwp_uct',
                                 'pcl')}
         for fname in np.atleast_1d(fnames):
             f = open_any(fname)
             try:
-                lon, _ = f.var('geolocation_data/longitude')
-                lat, _ = f.var('geolocation_data/latitude')
-                sel = _subset(lon, lat, extent)
+                lon, lat, sel = self._mask(f, fname, extent)
 
                 def rd(name, default=None):
                     try:
                         d, a = f.var(f'geophysical_data/{name}')
-                        return apply_scaling(d, a)[sel]
+                        v = apply_scaling(d, a)
+                        return v if keep else v[sel]
                     except Exception:
                         return default
                 ctp = rd('Cloud_Phase_Optical_Properties')
                 cth = rd('Cloud_Top_Height')
                 cot = rd('Cloud_Optical_Thickness')
                 cer = rd('Cloud_Effective_Radius')
-                npx = cot.shape if cot is not None else lon[sel].shape
+                npx = cot.shape if cot is not None \
+                    else (lon.shape if keep else lon[sel].shape)
                 zeros = np.zeros(npx)
                 cot = zeros.copy() if cot is None else np.nan_to_num(cot, nan=-1.0)
                 cer = zeros.copy() if cer is None else np.nan_to_num(cer, nan=-1.0)
@@ -230,7 +271,8 @@ class viirs_cldprop_l2:
                     cer[fill] = cer_p[fill]
                     cwp[fill] = cwp_p[fill] if cwp_p is not None \
                         else 2.0 / 3.0 * cot_p[fill] * cer_p[fill]
-                for k, v in (('lon', lon[sel]), ('lat', lat[sel]),
+                for k, v in (('lon', lon if keep else lon[sel]),
+                             ('lat', lat if keep else lat[sel]),
                              ('ctp', ctp), ('cth', cth), ('cot', cot),
                              ('cer', cer), ('cwp', cwp),
                              ('cot_uct', cot * uct['cot'] / 100.0),
@@ -240,7 +282,8 @@ class viirs_cldprop_l2:
                     cols[k].append(v)
             finally:
                 f.close()
-        cat = {k: np.concatenate(v) for k, v in cols.items()}
+        cat_f = np.stack if keep else np.concatenate
+        cat = {k: cat_f(v) for k, v in cols.items()}
         names = {'ctp': 'Cloud phase (optical properties)',
                  'cth': 'Cloud top height', 'cot': 'Cloud optical thickness',
                  'cer': 'Cloud effective radius', 'cwp': 'Cloud water path',
@@ -254,9 +297,10 @@ class viirs_cldprop_l2:
         for k in names:
             self.data[k] = _entry(cat[k], names[k], units.get(k, 'N/A'))
         if extent is not None:
-            lon2, lat2, cot2 = grid_by_extent(cat['lon'], cat['lat'],
-                                              cat['cot'], extent, nx=nx, ny=ny)
-            _, _, cer2 = grid_by_extent(cat['lon'], cat['lat'], cat['cer'],
+            flat = {k: cat[k].ravel() for k in ('lon', 'lat', 'cot', 'cer')}
+            lon2, lat2, cot2 = grid_by_extent(flat['lon'], flat['lat'],
+                                              flat['cot'], extent, nx=nx, ny=ny)
+            _, _, cer2 = grid_by_extent(flat['lon'], flat['lat'], flat['cer'],
                                         extent, nx=nx, ny=ny)
             self.data['lon_2d'] = _entry(lon2, 'Gridded longitude', 'deg')
             self.data['lat_2d'] = _entry(lat2, 'Gridded latitude', 'deg')
@@ -265,6 +309,7 @@ class viirs_cldprop_l2:
                                          'um')
 
     def _read_mask(self, fnames, extent, quality_assurance):
+        keep = self.keep_dims
         cols = {k: [] for k in ('lon', 'lat', 'cloud_mask_flag',
                                 'day_night_flag', 'sunglint_flag',
                                 'snow_ice_flag', 'land_water_cat',
@@ -273,15 +318,14 @@ class viirs_cldprop_l2:
         for fname in np.atleast_1d(fnames):
             f = open_any(fname)
             try:
-                lon, _ = f.var('geolocation_data/longitude')
-                lat, _ = f.var('geolocation_data/latitude')
-                sel = _subset(lon, lat, extent)
+                lon, lat, sel = self._mask(f, fname, extent)
+                pick = (lambda a: a) if keep else (lambda a: a[sel])
                 cm, _ = f.var('geophysical_data/Cloud_Mask')
-                b0 = np.asarray(cm)[..., 0][sel] if np.ndim(cm) == 3 \
-                    else np.asarray(cm)[sel]
+                b0 = pick(np.asarray(cm)[..., 0] if np.ndim(cm) == 3
+                          else np.asarray(cm))
                 # byte-0 decode (reference extract_data, viirs.py:549-568)
-                cols['lon'].append(lon[sel])
-                cols['lat'].append(lat[sel])
+                cols['lon'].append(pick(lon))
+                cols['lat'].append(pick(lat))
                 cols['land_water_cat'].append(_bits(b0, 0, 2))
                 cols['snow_ice_flag'].append(_bits(b0, 2))
                 cols['sunglint_flag'].append(_bits(b0, 3))
@@ -291,8 +335,8 @@ class viirs_cldprop_l2:
                 if quality_assurance > 0:
                     qa, _ = f.var('geophysical_data/Quality_Assurance')
                     qa = np.asarray(qa)
-                    q0 = qa[..., 0][sel]
-                    q1 = qa[..., 1][sel]
+                    q0 = pick(qa[..., 0])
+                    q1 = pick(qa[..., 1])
                     # QA byte 0: retrieval outcome/confidence/availability
                     # (reference quality_assurance_byte0, viirs.py:571-596)
                     fields = {'ret_1621_qa': _bits(q0, 0),
@@ -319,14 +363,13 @@ class viirs_cldprop_l2:
             'sunglint_flag': 'Sunglint (0=in path 1=not)',
             'snow_ice_flag': 'Snow/ice processing (0=snow/ice 1=no)',
             'land_water_cat': 'Land/water (0=water..3=land)'}
-        self.data = {'lon': _entry(np.concatenate(cols['lon']),
-                                   'Longitude', 'deg'),
-                     'lat': _entry(np.concatenate(cols['lat']),
-                                   'Latitude', 'deg')}
+        cat_f = np.stack if keep else np.concatenate
+        self.data = {'lon': _entry(cat_f(cols['lon']), 'Longitude', 'deg'),
+                     'lat': _entry(cat_f(cols['lat']), 'Latitude', 'deg')}
         for k, nm in names.items():
-            self.data[k] = _entry(np.concatenate(cols[k]), nm)
+            self.data[k] = _entry(cat_f(cols[k]), nm)
         for k, v in qa_cols.items():
-            self.qa[k] = _entry(np.concatenate(v), k.replace('_', ' '))
+            self.qa[k] = _entry(cat_f(v), k.replace('_', ' '))
 
 
 class viirs_09:

@@ -95,6 +95,77 @@ def viirs_file_full(tmp_path):
     return fname
 
 
+@pytest.fixture()
+def viirs03_file(tmp_path):
+    """Synthetic VNP03MOD granule paired (same time pattern) with a CLDPROP
+    one, for the f03-mask-reuse path (reference viirs.py:530-545)."""
+    fname = os.path.join(tmp_path, 'VNP03MOD.A2019241.0942.nc')
+    ny, nx = 20, 16
+    lon, lat = np.meshgrid(np.linspace(-60.5, -59.5, nx),
+                           np.linspace(14.5, 15.5, ny))
+    with h5py.File(fname, 'w') as f:
+        g = f.create_group('geolocation_data')
+        g.create_dataset('longitude', data=lon.astype(np.float32))
+        g.create_dataset('latitude', data=lat.astype(np.float32))
+        for name, val in (('solar_zenith', 3000), ('solar_azimuth', 4500),
+                          ('sensor_zenith', 1000), ('sensor_azimuth', -9000)):
+            d = g.create_dataset(name, data=np.full((ny, nx), val, np.int16))
+            d.attrs['scale_factor'] = 0.01
+            d.attrs['add_offset'] = 0.0
+        g.create_dataset('land_water_mask',
+                         data=np.full((ny, nx), 3, np.uint8))
+        d = g.create_dataset('height', data=np.full((ny, nx), 120, np.int16))
+        d.attrs['scale_factor'] = 1.0
+        d.attrs['add_offset'] = 0.0
+    return fname
+
+
+def test_viirs_03_reader(viirs03_file):
+    """viirs_03: angle set, land/water mask, vnames extras, keep_dims
+    retention + stored extent mask (reference viirs.py:96-271)."""
+    from er3t_tpu.sat.viirs import viirs_03, get_fname_pattern
+
+    ext = (-60.5, -60.0, 14.5, 15.5)     # left half of the granule
+    obj = viirs_03([viirs03_file], extent=ext, vnames=('height',))
+    assert obj.data['sza']['data'].shape[0] < 20 * 16   # masked to extent
+    assert np.allclose(obj.data['sza']['data'], 30.0)
+    assert np.allclose(obj.data['vaa']['data'], -90.0)
+    assert np.all(obj.data['land_water_mask']['data'] == 3)
+    assert np.allclose(obj.data['height']['data'], 120.0)
+
+    obj2 = viirs_03([viirs03_file], extent=ext, keep_dims=True)
+    assert obj2.data['lon']['data'].shape == (1, 20, 16)   # 2-D retained
+    mask = obj2.logic[get_fname_pattern(viirs03_file)]['mask']
+    assert mask.shape == (20, 16)
+    assert mask.sum() == obj.data['lon']['data'].size
+
+
+def test_viirs_cldprop_f03_and_keep_dims(viirs03_file, tmp_path,
+                                         viirs_file_full):
+    """cldprop reuses the viirs_03 mask of the same granule pattern and
+    keep_dims retains 2-D fields."""
+    import shutil
+
+    from er3t_tpu.sat.viirs import viirs_03
+
+    # pair the full CLDPROP fixture under the same A2019241.0942 pattern
+    l2 = os.path.join(tmp_path, 'CLDPROP_L2_VIIRS.A2019241.0942.nc')
+    shutil.copy(viirs_file_full, l2)
+    ext = (-60.5, -60.0, 14.5, 15.5)
+    f03 = viirs_03([viirs03_file], extent=ext)
+    obj = viirs_cldprop_l2([l2], f03=f03)          # no extent of its own
+    n_sel = int(f03.logic['A2019241.0942']['mask'].sum())
+    assert obj.data['cot']['data'].shape == (n_sel,)
+
+    obj2 = viirs_cldprop_l2([l2], keep_dims=True)
+    assert obj2.data['cot']['data'].shape == (1, 20, 16)
+    assert obj2.data['cwp']['data'].max() == pytest.approx(120.0, rel=0.01)
+    obj3 = viirs_cldprop_l2([l2], maskvars=True, quality_assurance=2,
+                            keep_dims=True)
+    assert obj3.data['land_water_cat']['data'].shape == (1, 20, 16)
+    assert obj3.qa['bowtie_qa']['data'].shape == (1, 20, 16)
+
+
 def test_viirs_cldprop_full_sds(viirs_file_full):
     """Full COP depth: cth/cwp/uncertainties + PCL fill-in flagged."""
     obj = viirs_cldprop_l2([viirs_file_full])

@@ -616,3 +616,41 @@ def test_heating_rate_direct_lower_noise(atm):
     sd_d = np.stack(hrs_d).std(axis=0).mean()
     sd_f = np.stack(hrs_f).std(axis=0).mean()
     assert sd_d < 1.15 * sd_f
+
+
+def test_dynamic_n_photon_no_recompile(atm):
+    """n_photon is a TRACED int32 argument of transport_flight (round-5):
+    changing the photon count must reuse the compiled kernel — remainder
+    chunks and the independent-protocol per-g budgets previously each paid
+    a fresh multi-minute remote compile through the TPU tunnel."""
+    import logging
+
+    import jax
+
+    from er3t_tpu.rtm.mc_flight import run_transport_flight
+    from er3t_tpu.rtm.scene import build_scene
+
+    ab = abs_synthetic(650.0, atm)
+    scene, st = build_scene(atm, ab, surface=0.1, solar_zenith_angle=30.0)
+    cfg = solver.mc.SolverConfig(target='radiance', batch=1 << 10,
+                                 n_scat_max=100)
+    run_transport_flight(scene, st, cfg, 2_000, seed=0)   # compile once
+
+    class _Count(logging.Handler):
+        n = 0
+
+        def emit(self, record):
+            if 'compil' in record.getMessage().lower():
+                _Count.n += 1
+
+    h = _Count()
+    logger = logging.getLogger('jax')
+    with jax.log_compiles(True):
+        logger.addHandler(h)
+        try:
+            t1 = run_transport_flight(scene, st, cfg, 3_000, seed=1)
+            t2 = run_transport_flight(scene, st, cfg, 7_000, seed=2)
+        finally:
+            logger.removeHandler(h)
+    assert int(t1.n_launched) == 3_000 and int(t2.n_launched) == 7_000
+    assert _Count.n == 0, f'{_Count.n} recompiles for new photon counts'
