@@ -259,7 +259,7 @@ def transport_decomp(scene, st, cfg: SolverConfig, n_photon: int, mesh,
             rad_pl = jnp.zeros(())
         return Tallies(rad=rad, flux=flux, n_launched=launched,
                        n_steps=steps, rad_plen=rad_pl,
-                       lane_iters=steps * B, absorbed=ab)
+                       lane_iters=steps.astype(_F) * B, absorbed=ab)
 
     flux_spec = P('x') if (not radiance and cfg.flux_per_column) else P()
     out_specs = Tallies(rad=P() if radiance else P('x'), flux=flux_spec,

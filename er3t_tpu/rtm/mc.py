@@ -208,7 +208,8 @@ class SolverConfig:
     #                                     step tail's cost ~8-64x since
     #                                     ms/step is linear in batch.
     #                                     Ignored with sort_every>0 or
-    #                                     batch<8192 (see transport_flight)
+    #                                     batch<2048 (one B/8>=256 stage
+    #                                     needed; see transport_flight)
     sort_every: int = 0                # >0: every N steps re-sort the photon
     #                                     lanes by their current voxel column
     #                                     so spatial coherence (see
@@ -682,7 +683,7 @@ def transport(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
     return Tallies(rad=out.rad.reshape(nxr, nyr, ng),
                    flux=flux,
                    n_launched=out.launched, n_steps=out.step,
-                   lane_iters=out.step * cfg.batch)
+                   lane_iters=out.step.astype(_F) * cfg.batch)
 
 
 def run_transport(scene, static, cfg, n_photon, seed=0):

@@ -1409,7 +1409,10 @@ def transport_flight(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
             return jax.lax.fori_loop(0, cfg.sort_every,
                                      lambda i, cc: body(cc), c)
         out = jax.lax.while_loop(cond_capped, outer, carry0)
-        lane_iters = out.step * cfg.batch
+        # float32: step*batch reaches ~1e9-1e10 at production chunks and
+        # would wrap int32; ppm-level float rounding is irrelevant for a
+        # work metric
+        lane_iters = out.step.astype(_F) * cfg.batch
     elif compact_stages:
         b1 = compact_stages[0]
 
@@ -1419,7 +1422,7 @@ def transport_flight(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                     & ((n_alive > 0) | (c.launched < n_photon))
                     & (c.step < max_steps))
         c = jax.lax.while_loop(cond0, body, carry0)
-        lane_iters = c.step * cfg.batch
+        lane_iters = c.step.astype(_F) * cfg.batch
         prev_step = c.step
         import dataclasses as _dc
         for si, b_s in enumerate(compact_stages):
@@ -1438,12 +1441,12 @@ def transport_flight(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                 n_alive = jnp.sum(cc.alive.astype(jnp.int32))
                 return (n_alive > nxt) & (cc.step < max_steps)
             c = jax.lax.while_loop(cond_s, body_s, c)
-            lane_iters = lane_iters + (c.step - prev_step) * b_s
+            lane_iters = lane_iters + (c.step - prev_step).astype(_F) * b_s
             prev_step = c.step
         out = c
     else:
         out = jax.lax.while_loop(cond_capped, body, carry0)
-        lane_iters = out.step * cfg.batch
+        lane_iters = out.step.astype(_F) * cfg.batch
     if cfg.sensor_type == 'camera':
         nxr = nyr = cfg.cam_npix
     else:

@@ -92,7 +92,10 @@ class modis_03:
                     extra[v].append(pick(apply_scaling(d, a)))
             finally:
                 f.close()
-        cat = (np.stack if keep_dims else np.concatenate)
+        # keep_dims granules are vstacked along track (reference np.vstack,
+        # modis.py:226-233): adjacent granules alternate 2030/2040 scan
+        # lines, so np.stack would fail on exactly the multi-granule case
+        cat = np.concatenate
         self.data = {
             'lon': _entry(cat(cols['lon']), 'Longitude', 'deg'),
             'lat': _entry(cat(cols['lat']), 'Latitude', 'deg'),
@@ -309,6 +312,7 @@ class modis_l2:
                     raise KeyError(f'Cloud_Optical_Thickness{sfx} missing '
                                    f'in {fname}')
                 zeros = np.zeros_like(cot)
+                has_cer, has_cwp = cer is not None, cwp is not None
                 cer = zeros if cer is None else cer
                 cwp = zeros if cwp is None else cwp
                 cth = zeros if cth is None else cth
@@ -346,6 +350,11 @@ class modis_l2:
                 cwp = np.nan_to_num(cwp, nan=-1.0)
                 cth = np.nan_to_num(cth, nan=0.0) / 1000.0
                 pcl = np.zeros(cot.shape, np.uint8)
+                # PCL fill-in below is decided from the PRE-RESET values
+                # (reference logic_pcl uses cot0/cer0/cwp0_data == 0,
+                # modis.py:772-774): failed retrievals (negative fill /
+                # phase 0) stay clear and must not be PCL-filled
+                cot0, cer0, cwp0 = cot.copy(), cer.copy(), cwp.copy()
                 # invalid retrievals (negative/fill or undetermined phase)
                 # reset to clear sky (modis.py:752-762)
                 bad = (cot < 0) | (cer < 0) | (cwp < 0) | (ctp == 0)
@@ -364,7 +373,10 @@ class modis_l2:
                     has_cwp_pcl = cwp_pcl is not None
                     if has_cwp_pcl:
                         cwp_pcl = np.nan_to_num(cwp_pcl, nan=-1.0)
-                    fill = ((cot == 0) | (cer == 0) | (cwp == 0)) \
+                    # a defaulted (absent-SDS) cer/cwp is all-zero and must
+                    # not mark every pixel standard-clear
+                    fill = ((cot0 == 0) | (has_cer & (cer0 == 0))
+                            | (has_cwp & (cwp0 == 0))) \
                         & (cot_pcl > 0) & (cer_pcl > 0)
                     if has_cwp_pcl:
                         fill &= cwp_pcl > 0
@@ -768,8 +780,11 @@ def upscale_modis_lonlat(lon_in, lat_in, scale=5, extra_grid=True):
         lon_in = np.where(lon_in < 0.0, lon_in + 360.0, lon_in)
 
     ny, nx = lon_in.shape
-    ny_out = ny * scale + (scale if extra_grid else 0)
-    nx_out = nx * scale
+    # MOD/MYD 05/06 5-km geolocation is 4 ALONG-SCAN columns short of the
+    # 1-km grid: a (406, 270) granule upscales to (2030, 1354), i.e. the
+    # extension is +4 columns (reference XX = np.arange(x+4)), never rows
+    ny_out = ny * scale
+    nx_out = nx * scale + (4 if (extra_grid and scale == 5) else 0)
     iy = (np.arange(ny_out) - offsets[1]) / scale
     ix = (np.arange(nx_out) - offsets[0]) / scale
 

@@ -80,7 +80,9 @@ class viirs_03:
                     extra[v].append(pick(apply_scaling(d, a)))
             finally:
                 f.close()
-        cat = (np.stack if keep_dims else np.concatenate)
+        # keep_dims granules are vstacked along track (reference
+        # np.vstack): granule row counts may differ, np.stack would fail
+        cat = np.concatenate
         self.data = {
             'lon': _entry(cat(cols['lon']), 'Longitude', 'deg'),
             'lat': _entry(cat(cols['lat']), 'Latitude', 'deg'),
@@ -103,19 +105,32 @@ class viirs_l1b:
     attributes, the uncertainty index when present, and the quality flags
     SDS.  ``bands`` may list several M/I-bands; fields become
     ``ref``/``rad``/``uct`` (first band, back-compatible) and
-    ``ref_<band>``/... for the rest."""
+    ``ref_<band>``/... for the rest.
+
+    VNP02 carries no geolocation of its own: region cropping comes from a
+    paired ``viirs_03`` object (``f03=``, same granule time pattern) whose
+    extent mask is applied to every band field — so ``ref`` stays aligned
+    with the ``lon``/``lat`` copied from it (reference viirs.py:417-421).
+    ``keep_dims=True`` skips the mask and retains the 2-D granules."""
 
     ID = 'VIIRS L1B'
 
-    def __init__(self, fnames, f03=None, band='M05', bands=None, extent=None):
+    def __init__(self, fnames, f03=None, band='M05', bands=None,
+                 keep_dims=False):
         bands = list(bands) if bands else [band]
         cols = {}
         for fname in np.atleast_1d(fnames):
+            mask = None
+            if f03 is not None and not keep_dims:
+                mask = f03.logic.get(get_fname_pattern(fname),
+                                     {}).get('mask')
             f = open_any(fname)
             try:
                 for b in bands:
                     raw, attrs = f.var(f'observation_data/{b}')
                     arr = np.asarray(raw, dtype=np.float64)
+                    if mask is not None:
+                        arr = arr[mask]
                     fill = attrs.get('_FillValue', 65535)
                     bad = arr >= np.float64(np.squeeze(fill))
                     sf = np.float64(np.squeeze(attrs.get('scale_factor', 1.0)))
@@ -136,9 +151,11 @@ class viirs_l1b:
                                      ('_quality_flags', 'qf')):
                         try:
                             u, ua = f.var(f'observation_data/{b}{suf}')
-                            cols.setdefault((key, b), []).append(
-                                apply_scaling(u, ua) if key == 'uct'
-                                else np.asarray(u))
+                            u = (apply_scaling(u, ua) if key == 'uct'
+                                 else np.asarray(u))
+                            if mask is not None:
+                                u = u[mask]
+                            cols.setdefault((key, b), []).append(u)
                         except Exception:
                             pass
             finally:
@@ -234,6 +251,8 @@ class viirs_cldprop_l2:
                 cer = rd('Cloud_Effective_Radius')
                 npx = cot.shape if cot is not None \
                     else (lon.shape if keep else lon[sel].shape)
+                has_cer, has_cwp = cer is not None, \
+                    rd('Cloud_Water_Path') is not None
                 zeros = np.zeros(npx)
                 cot = zeros.copy() if cot is None else np.nan_to_num(cot, nan=-1.0)
                 cer = zeros.copy() if cer is None else np.nan_to_num(cer, nan=-1.0)
@@ -248,6 +267,12 @@ class viirs_cldprop_l2:
                        for k, n in (('cot', 'Optical_Thickness'),
                                     ('cer', 'Effective_Radius'),
                                     ('cwp', 'Water_Path'))}
+                # PCL fill-in is decided from the PRE-RESET standard values
+                # (reference logic_pcl uses cot0/cer0/cwp0_data == 0,
+                # viirs.py:873-878): a FAILED standard retrieval (negative
+                # fill / undetermined phase) stays clear and must NOT be
+                # PCL-filled — only standard-clear (exact zero) pixels are
+                cot0, cer0, cwp0 = cot.copy(), cer.copy(), cwp.copy()
                 # invalid/undetermined-phase retrievals -> clear sky
                 # (reference read_cop, viirs.py:852-860)
                 bad = (cot < 0) | (cer < 0) | (cwp < 0) | (ctp == 0)
@@ -261,8 +286,11 @@ class viirs_cldprop_l2:
                 if cot_p is not None and cer_p is not None:
                     cot_p = np.nan_to_num(cot_p, nan=-1.0)
                     cer_p = np.nan_to_num(cer_p, nan=-1.0)
-                    fill = ((cot == 0) | (cer == 0)) & (cot_p > 0) \
-                        & (cer_p > 0)
+                    # a defaulted (absent-SDS) cer/cwp is all-zero and must
+                    # not mark every pixel standard-clear
+                    fill = ((cot0 == 0) | (has_cer & (cer0 == 0))
+                            | (has_cwp & (cwp0 == 0))) \
+                        & (cot_p > 0) & (cer_p > 0)
                     if cwp_p is not None:
                         cwp_p = np.nan_to_num(cwp_p, nan=-1.0)
                         fill &= cwp_p > 0
@@ -282,8 +310,7 @@ class viirs_cldprop_l2:
                     cols[k].append(v)
             finally:
                 f.close()
-        cat_f = np.stack if keep else np.concatenate
-        cat = {k: cat_f(v) for k, v in cols.items()}
+        cat = {k: np.concatenate(v) for k, v in cols.items()}
         names = {'ctp': 'Cloud phase (optical properties)',
                  'cth': 'Cloud top height', 'cot': 'Cloud optical thickness',
                  'cer': 'Cloud effective radius', 'cwp': 'Cloud water path',
@@ -363,13 +390,14 @@ class viirs_cldprop_l2:
             'sunglint_flag': 'Sunglint (0=in path 1=not)',
             'snow_ice_flag': 'Snow/ice processing (0=snow/ice 1=no)',
             'land_water_cat': 'Land/water (0=water..3=land)'}
-        cat_f = np.stack if keep else np.concatenate
-        self.data = {'lon': _entry(cat_f(cols['lon']), 'Longitude', 'deg'),
-                     'lat': _entry(cat_f(cols['lat']), 'Latitude', 'deg')}
+        self.data = {'lon': _entry(np.concatenate(cols['lon']),
+                                   'Longitude', 'deg'),
+                     'lat': _entry(np.concatenate(cols['lat']),
+                                   'Latitude', 'deg')}
         for k, nm in names.items():
-            self.data[k] = _entry(cat_f(cols[k]), nm)
+            self.data[k] = _entry(np.concatenate(cols[k]), nm)
         for k, v in qa_cols.items():
-            self.qa[k] = _entry(cat_f(v), k.replace('_', ' '))
+            self.qa[k] = _entry(np.concatenate(v), k.replace('_', ' '))
 
 
 class viirs_09:

@@ -45,11 +45,22 @@ def main_pre(args):
     advection over the imager-to-sensor time offset
     (er3t_tpu.apps.cldpos.correct_cloud_map).
     """
+    obs = None
     if args.l1b:
         from er3t_tpu.sat.oco2 import oco2_rad_nadir
         obj = oco2_rad_nadir(args.l1b)
-        rad = obj.data['rad']['data']            # (Nsound, 8 footprints)
-        LOG.framework(f'OCO-2 L1B: {rad.shape[0]} soundings')
+        spec = np.asarray(obj.data['rad']['data'])  # (Nsound*8, Nsamp) —
+        #                                 the reader flattens the 8 across-
+        #                                 track footprints; spectra stay
+        # continuum radiance per footprint: bright-percentile over the
+        # spectral samples (the reference uses the O2 A-band continuum
+        # channels; a high percentile is the absorption-free level)
+        rad = (np.nanpercentile(spec, 90, axis=-1)
+               if spec.ndim == 2 and spec.shape[-1] > 8 else spec.ravel())
+        ns = rad.size // 8
+        obs = rad[:ns * 8].reshape(ns, 8)        # for main_post's
+        #                                          per-footprint comparison
+        LOG.framework(f'OCO-2 L1B: {ns} soundings x 8 footprints')
         # continuum-normalized reflectance -> COT first guess via the
         # IPA curve (reference cdata_cld_ipa, 01_oco2_rad-sim.py:1712-1737)
         atm = atm_atmmod(np.concatenate([np.arange(0, 3.0, 0.5),
@@ -76,20 +87,28 @@ def main_pre(args):
             cot[(ii - i) ** 2 + (jj - j) ** 2 <= r ** 2] = rng.uniform(3, 25)
     cer = np.where(cot > 0, 12.0, 0.0)
     cth = np.where(cot > 0, args.cth, 0.0)
+    # per-mode registration (reference cdata_cld_ipa): the 3D run gets
+    # parallax + wind; the IPA run keeps the apparent (parallax-biased)
+    # positions and takes the wind correction only, since the IPA forward
+    # model sees the same parallax the imager did
+    maps = {'3d': (cot, cer, cth), 'ipa': (cot, cer, cth)}
     if args.vza or args.wind_u or args.wind_v:
         from er3t_tpu.apps.cldpos import correct_cloud_map
-        cot, cer, cth, _ = correct_cloud_map(
-            cot, cer, cth, sfh_km=0.0, vza_deg=args.vza, vaa_deg=args.vaa,
-            u10=args.wind_u, v10=args.wind_v, dt_s=args.dt,
-            dx_km=args.dx, dy_km=args.dx, mode='3d')
+        for mode in maps:
+            c, e, h, _ = correct_cloud_map(
+                cot, cer, cth, sfh_km=0.0, vza_deg=args.vza,
+                vaa_deg=args.vaa, u10=args.wind_u, v10=args.wind_v,
+                dt_s=args.dt, dx_km=args.dx, dy_km=args.dx, mode=mode)
+            maps[mode] = (c, e, h)
         LOG.framework(
             f'cloud map re-registered (parallax vza={args.vza:.1f} '
-            f'vaa={args.vaa:.1f}; wind {args.wind_u:.1f},{args.wind_v:.1f} '
-            f'm/s over {args.dt:.0f} s)')
-    return cot, cer, cth
+            f'vaa={args.vaa:.1f} for the 3D run; wind '
+            f'{args.wind_u:.1f},{args.wind_v:.1f} m/s over {args.dt:.0f} s '
+            f'for both)')
+    return maps, obs
 
 
-def main_sim(cot, cer, cth, args):
+def main_sim(maps, args):
     """3D + IPA O2 A-band radiance over a Cox-Munk ocean."""
     atm = atm_atmmod(np.concatenate([np.arange(0, 3.0, 0.5),
                                  np.arange(3.0, 20.1, 1.0)]))
@@ -101,13 +120,14 @@ def main_sim(cot, cer, cth, args):
         ab = abs_synthetic(args.wavelength, atm)
         LOG.framework(f'synthetic A-band k-distribution at {ab.wvl:.1f} nm')
 
-    cld = cld_gen_cop(cot, cer, np.where(cth > 0, cth, 0.0),
-                      dx=args.dx, dy=args.dx, dz=0.5)
     pha = pha_mie_wc(args.wavelength)
     sfc = sfc_ocean(wvl=args.wavelength, u10=args.u10)
 
     out = {}
     for mode in ('3d', 'ipa'):
+        cot, cer, cth = maps[mode]
+        cld = cld_gen_cop(cot, cer, np.where(cth > 0, cth, 0.0),
+                          dx=args.dx, dy=args.dx, dz=0.5)
         res = solver.solve(
             atm=atm, abs_coef=ab, cld=cld, pha=pha, surface=sfc,
             target='radiance', solver=mode, forward_trunc_deg=20.0,
@@ -210,9 +230,9 @@ def main():
         os.path.dirname(os.path.abspath(__file__)), 'output', '01'))
     args = ap.parse_args()
 
-    cot, cer, cth = main_pre(args)
-    out = main_sim(cot, cer, cth, args)
-    main_post(cot, out, args)
+    maps, obs = main_pre(args)
+    out = main_sim(maps, args)
+    main_post(maps['3d'][0], out, args, obs=obs)
 
 
 if __name__ == '__main__':

@@ -134,7 +134,7 @@ def test_viirs_03_reader(viirs03_file):
     assert np.allclose(obj.data['height']['data'], 120.0)
 
     obj2 = viirs_03([viirs03_file], extent=ext, keep_dims=True)
-    assert obj2.data['lon']['data'].shape == (1, 20, 16)   # 2-D retained
+    assert obj2.data['lon']['data'].shape == (20, 16)   # 2-D retained
     mask = obj2.logic[get_fname_pattern(viirs03_file)]['mask']
     assert mask.shape == (20, 16)
     assert mask.sum() == obj.data['lon']['data'].size
@@ -158,12 +158,46 @@ def test_viirs_cldprop_f03_and_keep_dims(viirs03_file, tmp_path,
     assert obj.data['cot']['data'].shape == (n_sel,)
 
     obj2 = viirs_cldprop_l2([l2], keep_dims=True)
-    assert obj2.data['cot']['data'].shape == (1, 20, 16)
+    assert obj2.data['cot']['data'].shape == (20, 16)
     assert obj2.data['cwp']['data'].max() == pytest.approx(120.0, rel=0.01)
     obj3 = viirs_cldprop_l2([l2], maskvars=True, quality_assurance=2,
                             keep_dims=True)
-    assert obj3.data['land_water_cat']['data'].shape == (1, 20, 16)
-    assert obj3.qa['bowtie_qa']['data'].shape == (1, 20, 16)
+    assert obj3.data['land_water_cat']['data'].shape == (20, 16)
+    assert obj3.qa['bowtie_qa']['data'].shape == (20, 16)
+
+
+def test_viirs_l1b_f03_alignment(viirs03_file, tmp_path):
+    """viirs_l1b applies the paired viirs_03 extent mask to every band
+    field so ref/rad stay aligned with the copied lon/lat (reference
+    viirs.py:417-421)."""
+    from er3t_tpu.sat.viirs import viirs_03, viirs_l1b
+
+    ny, nx = 20, 16
+    fn = os.path.join(tmp_path, 'VNP02MOD.A2019241.0942.nc')
+    counts = np.arange(ny * nx, dtype=np.uint16).reshape(ny, nx)
+    with h5py.File(fn, 'w') as f:
+        g = f.create_group('observation_data')
+        d = g.create_dataset('M05', data=counts)
+        d.attrs['scale_factor'] = 1e-4
+        d.attrs['add_offset'] = 0.0
+        d.attrs['_FillValue'] = np.uint16(65535)
+        d.attrs['radiance_scale_factor'] = 2e-4
+        d.attrs['radiance_add_offset'] = 0.0
+    ext = (-60.5, -60.0, 14.5, 15.5)
+    f03 = viirs_03([viirs03_file], extent=ext)
+    o = viirs_l1b([fn], f03=f03)
+    n_sel = f03.data['lon']['data'].size
+    assert o.data['ref']['data'].shape == (n_sel,)     # masked like lon/lat
+    assert o.data['rad']['data'].shape == (n_sel,)
+    assert o.data['lon']['data'].size == n_sel
+    # values correspond to the masked pixels, in mask order
+    mask = f03.logic['A2019241.0942']['mask']
+    np.testing.assert_allclose(o.data['ref']['data'],
+                               counts[mask] * 1e-4, rtol=1e-6)
+    # keep_dims retains the full 2-D granule
+    o2 = viirs_l1b([fn], f03=f03, keep_dims=True)
+    assert o2.data['ref']['data'].shape == (ny * nx,) \
+        or o2.data['ref']['data'].size == ny * nx
 
 
 def test_viirs_cldprop_full_sds(viirs_file_full):
@@ -319,10 +353,15 @@ def test_upscale_modis_lonlat():
                              np.linspace(-40, -38.2, nx), indexing='ij')
     lon, lat = upscale_modis_lonlat(lon0.copy(), lat0, scale=5,
                                     extra_grid=True)
-    assert lon.shape == (ny * 5 + 5, nx * 5)
+    # the MOD05/06 extension is +4 ALONG-SCAN columns, never rows
+    # (reference XX = np.arange(x+4)): (406, 270) 5-km geolocation must
+    # upscale to the (2030, 1354) 1-km grid
+    assert lon.shape == (ny * 5, nx * 5 + 4)
     # linear field: interior values match analytic expectation
-    # output row 7 maps exactly onto input row 1 ((7 - 2)/5 = 1)
+    # output row 7 maps exactly onto input row 1 ((7 - 2)/5 = 1), and
+    # output column 7 onto input column 1 (along-scan offset is also 2)
     assert lat[7, 0] == pytest.approx(lat0[1, 0], abs=1e-9)
+    assert lon[0, 7] == pytest.approx(lon0[0, 1], abs=1e-9)
     assert np.all(np.diff(lat[:, 0]) > 0)
     assert np.all(np.diff(lon[0, :]) > 0)
 
@@ -823,5 +862,35 @@ def test_modis_03_vnames_keepdims(tmp_path):
     assert obj.data['height']['data'][0] == pytest.approx(123.0)
     assert obj.data['vza']['data'][0] == pytest.approx(30.0)
     obj2 = modis_03([fname], extent=(-61, -59, 14, 16), keep_dims=True)
-    assert obj2.data['lon']['data'].shape == (1, ny, nx)
+    assert obj2.data['lon']['data'].shape == (ny, nx)
     assert obj2.logic[fname]['1km'].shape == (ny, nx)
+
+
+def test_modis_l2_5km_geolocation_upscale(tmp_path):
+    """MOD06-shape granule: 5-km geolocation with 1-km retrievals whose
+    1-km grid is 4 ALONG-SCAN columns wider than 5x the 5-km grid
+    ((406, 270) -> (2030, 1354) on real granules; scaled-down here).
+    Regression for the upscale extending the wrong axis, which made every
+    real MOD06 granule crash on the boolean-mask shape mismatch."""
+    from er3t_tpu.sat.modis import modis_l2
+
+    ny5, nx5 = 8, 10
+    ny1, nx1 = ny5 * 5, nx5 * 5 + 4              # 40 x 54
+    lat5, lon5 = np.meshgrid(np.linspace(10, 11.4, ny5),
+                             np.linspace(-40, -38.2, nx5), indexing='ij')
+    cot = np.full((ny1, nx1), 8.0)
+    fname = str(tmp_path / 'MOD06_L2.5km.h5')
+    with h5py.File(fname, 'w') as f:
+        f['Longitude'] = lon5
+        f['Latitude'] = lat5
+        f['Cloud_Optical_Thickness'] = cot
+        f['Cloud_Effective_Radius'] = np.full((ny1, nx1), 12.0)
+        f['Cloud_Phase_Optical_Properties'] = np.full((ny1, nx1), 2,
+                                                      np.int16)
+    m = modis_l2(fname)
+    assert m.data['cot']['data'].size == ny1 * nx1   # no crop mismatch
+    assert m.data['lon']['data'].size == ny1 * nx1
+    # upscaled geolocation stays near the 5-km envelope (the +4-column
+    # extension extrapolates ~1.2 input cells = 0.24 deg past the edge)
+    lon = m.data['lon']['data']
+    assert lon.min() >= lon5.min() - 0.3 and lon.max() <= lon5.max() + 0.3
