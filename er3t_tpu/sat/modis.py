@@ -23,7 +23,7 @@ __all__ = ['modis_03', 'modis_l1b', 'modis_l2', 'modis_35_l2', 'modis_04',
            'modis_09', 'modis_09a1', 'modis_43a3', 'modis_43a1', 'modis_07',
            'modis_29', 'modis_mvcm_cldmsk_l2', 'modis_tiff',
            'upscale_modis_lonlat', 'get_sinusoidal_grid_tag',
-           'cal_sinusoidal_grid', 'sinusoidal_xy']
+           'cal_sinusoidal_grid', 'sinusoidal_xy', 'download_modis_rgb']
 
 # MODIS band center wavelengths [nm] for the L1B logic
 # (reference: er3t/util/modis.py:34-85): reflective solar bands 1-19 + 26,
@@ -801,3 +801,30 @@ def upscale_modis_lonlat(lon_in, lat_in, scale=5, extra_grid=True):
     lat_out = interp2(lat_in)
     lon_out = np.where(lon_out > 180.0, lon_out - 360.0, lon_out)
     return lon_out, lat_out
+
+
+def download_modis_rgb(date, extent, which='terra', fdir='.', dpm=100,
+                       run=True, _get=None):
+    """MODIS true-color RGB over ``extent`` (reference download_modis_rgb,
+    modis.py:2650).
+
+    The reference renders the GIBS WMTS layer through cartopy/owslib; here
+    the same corrected-reflectance layer comes from the Worldview snapshot
+    API (sat/daac.py) with no plotting-stack dependency.  ``run=False``
+    returns the filename without touching the network (the reference's
+    contract for cached images).  Returns the local PNG filename.
+    """
+    import os
+
+    from .daac import (download_url, worldview_image_fname,
+                       worldview_image_url)
+    which = which.lower()
+    if which not in ('terra', 'aqua'):
+        raise ValueError("which must be 'terra' or 'aqua'")
+    layer = f'MODIS_{which.capitalize()}_CorrectedReflectance_TrueColor'
+    fname = worldview_image_fname(f'{which}_rgb', date, extent, fdir)
+    if run:
+        url = worldview_image_url(date, extent, layer=layer, dpm=dpm)
+        out = download_url(url, fdir, min_size=128, _get=_get)
+        os.replace(out, fname)
+    return fname

@@ -894,3 +894,30 @@ def test_modis_l2_5km_geolocation_upscale(tmp_path):
     # extension extrapolates ~1.2 input cells = 0.24 deg past the edge)
     lon = m.data['lon']['data']
     assert lon.min() >= lon5.min() - 0.3 and lon.max() <= lon5.max() + 0.3
+
+
+def test_download_modis_rgb_offline():
+    """download_modis_rgb (reference modis.py:2650) builds the GIBS
+    corrected-reflectance layer URL per satellite and honors run=False."""
+    import datetime
+
+    from er3t_tpu.sat.modis import download_modis_rgb
+
+    fetched = {}
+
+    def fake_get(url, headers):
+        fetched['url'] = url
+        yield b'x' * 256
+
+    d = datetime.date(2019, 8, 25)
+    ext = (-61.0, -59.0, 14.0, 16.0)
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        fn = download_modis_rgb(d, ext, which='aqua', fdir=td, _get=fake_get)
+        assert os.path.exists(fn) and 'aqua_rgb_2019-08-25' in fn
+        assert 'MODIS_Aqua_CorrectedReflectance_TrueColor' in fetched['url']
+        assert '2019-08-25' in fetched['url']
+        fn2 = download_modis_rgb(d, ext, fdir=td, run=False)
+        assert fn2.endswith('.png') and not os.path.exists(fn2)
+    with pytest.raises(ValueError):
+        download_modis_rgb(d, ext, which='suomi', run=False)
