@@ -142,6 +142,28 @@ def _resolve_slit(slit, wvl_max):
     return np.asarray(slit[0]), np.asarray(slit[1])
 
 
+def _apply_slit(wvl, v, slit):
+    """Slit-convolve ``v(wvl)`` onto the same grid.
+
+    ``'auto'`` selects the SSFR slit PER CHANNEL — 8 nm (vis) at
+    wavelengths <= 950 nm, 16 nm (nir) above — matching the reference's
+    per-band selection (lrt_flx.py:295-305); a single max-wavelength
+    choice would smooth a mixed vis/nir spectrum's visible channels with
+    double the intended half-width."""
+    if slit is None:
+        return v
+    if slit == 'auto':
+        out = np.array(v, dtype=np.float64)
+        vis = wvl <= 950.0
+        for m, band in ((vis, 'vis'), (~vis, 'nir')):
+            if m.any():
+                sw = _resolve_slit(band, 0.0)
+                out[m] = slit_convolve(wvl, v, sw[0], sw[1], wvl[m])
+        return out
+    sw = _resolve_slit(slit, float(np.max(wvl)))
+    return slit_convolve(wvl, v, sw[0], sw[1], wvl)
+
+
 def spec_flx(atm, wavelengths=None, date=None, surface_albedo=0.03,
              solar_zenith_angle=0.0, cld_cfg=None, aer_cfg=None,
              slit='auto', abs_fn=None, n_streams=8):
@@ -176,10 +198,8 @@ def spec_flx(atm, wavelengths=None, date=None, surface_albedo=0.03,
             cols['f_up'][i] += fac * fl['f_up_toa']
         cols['toa'][i] = toa * mu0
     out = {'wvl': wvl}
-    sl = _resolve_slit(slit, wvl.max())
     for k, v in cols.items():
-        out[k] = slit_convolve(wvl, v, sl[0], sl[1], wvl) if sl is not None \
-            else v
+        out[k] = _apply_slit(wvl, v, slit)
     out['f_down'] = out['f_down_direct'] + out['f_down_diffuse']
     return out
 
@@ -213,9 +233,7 @@ def spec_rad(atm, wavelengths=None, date=None, surface_albedo=0.03,
                                      n_streams=n_streams)
             rad[i] += factors[0][g] * float(np.atleast_1d(r)[0])
     out = {'wvl': wvl}
-    sl = _resolve_slit(slit, wvl.max())
-    out['rad'] = slit_convolve(wvl, rad, sl[0], sl[1], wvl) \
-        if sl is not None else rad
+    out['rad'] = _apply_slit(wvl, rad, slit)
     return out
 
 

@@ -30,13 +30,12 @@ from ..util.ncio import open_any
 
 __all__ = ['abs_rrtmg_sw', 'RRTMG_SW_WEIGHTS']
 
-# fixed quadrature weights (reference abs_crk.py:1941-1953)
-RRTMG_SW_WEIGHTS = np.array([
-    0.1527534276, 0.1491729617, 0.1420961469, 0.1316886544,
-    0.1181945205, 0.1019300893, 0.0832767040, 0.0626720116,
-    0.0424925000, 0.0046269894, 0.0038279891, 0.0030260086,
-    0.0022199750, 0.0014140010, 0.0005330000, 0.0000750000])
-RRTMG_SW_WEIGHTS = RRTMG_SW_WEIGHTS / RRTMG_SW_WEIGHTS.sum()
+# fixed quadrature weights (reference abs_crk.py:1941-1953) — the same
+# 16-value RRTMG-style quadrature as the 16-g database; single source of
+# truth in pre/abs.py
+from .abs import G16_WEIGHTS
+
+RRTMG_SW_WEIGHTS = G16_WEIGHTS / G16_WEIGHTS.sum()
 
 
 def _names(arr):

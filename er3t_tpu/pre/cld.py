@@ -121,7 +121,21 @@ def cld_les(fname_nc: str, coarsen=(1, 1, 1), q_factor: float = 2.0,
         while idx_e > 1 and qc_z[idx_e - 1] < 1e-10:
             idx_e -= 1
         if coarsen[2] > 1:
-            idx_e = min(coarsen[2] * (idx_e // coarsen[2] + 1), nz0)
+            c = coarsen[2]
+            cloud_top = idx_e
+            # round UP to the next block boundary (no-op when already on
+            # one), clamped to the grid; if the grid itself is not
+            # divisible, fall back to the highest boundary below it —
+            # valid only when that still covers the cloud
+            idx_e = min(c * ((idx_e + c - 1) // c), nz0)
+            if idx_e % c:
+                idx_e = c * (idx_e // c)
+                if idx_e < cloud_top:
+                    raise ValueError(
+                        f'LES z-grid has {nz0} levels, not coarsenable by '
+                        f'{c} without cutting cloudy layers (cloud top at '
+                        f'level {cloud_top}); choose a divisor of a '
+                        f'cloud-covering level count')
         z = z0[:idx_e]
         qc = qc[:idx_e]
         p = np.asarray(f.var('p')[0])[:idx_e]
@@ -248,9 +262,22 @@ def cld_gen_hem(nx=100, ny=100, nz=20, dx=0.1, dy=0.1, dz=0.1,
 
 
 def _maps_to_3d(x, y, dx, dy, cot2d, cer2d, cth2d, cgt2d, dz=0.1, qe=2.0):
-    """Common 2D->3D stacking for cld_gen_cop / cld_sat."""
-    cth_max = float(np.nanmax(np.where(cot2d > 0, cth2d, 0.0)) or 1.0)
-    nz = max(int(np.ceil(cth_max / dz)), 1)
+    """Common 2D->3D stacking for cld_gen_cop / cld_sat.
+
+    COT-conserving: each pixel's optical thickness is distributed over the
+    layers by their EXACT geometric overlap with [cth-cgt, cth], so
+    sum_k(ext_k * dz) == cot for every cloudy pixel regardless of how the
+    slab aligns with the layer grid.  (A layer-center membership test both
+    dropped sub-layer clouds entirely — a 50 m slab between two layer
+    centers — and scaled COT by n_layers*dz/cgt when cgt was not a layer
+    multiple.)  Pixels with non-finite cth/cgt are treated as clear."""
+    cloudy = cot2d > 0
+    finite = np.isfinite(cth2d) & np.isfinite(cgt2d)
+    cloudy = cloudy & finite
+    tops = cth2d[cloudy]
+    cth_max = float(tops.max()) if tops.size else 1.0
+    cth_max = max(cth_max, dz)
+    nz = max(int(np.ceil(cth_max / dz - 1e-9)), 1)
     z_edges = np.arange(nz + 1) * dz
     alt = 0.5 * (z_edges[1:] + z_edges[:-1])
     thick = np.full(nz, dz)
@@ -258,14 +285,21 @@ def _maps_to_3d(x, y, dx, dy, cot2d, cer2d, cth2d, cgt2d, dz=0.1, qe=2.0):
     nx, ny = cot2d.shape
     ext = np.zeros((nx, ny, nz))
     cer = np.zeros((nx, ny, nz))
-    cloudy = cot2d > 0
-    cbh = np.clip(cth2d - cgt2d, 0.0, None)
+    cot2d = np.where(cloudy, cot2d, 0.0)     # NaN-safe outside clouds
+    cer2d = np.where(cloudy, cer2d, 0.0)
+    cth = np.where(finite, cth2d, 0.0)
+    cbh = np.clip(cth - np.where(finite, cgt2d, 0.0), 0.0, None)
+    # degenerate (zero/negative) geometric thickness: one dz-thin slab
+    # below cloud top so the retrieved COT is not silently dropped
+    cbh = np.where(cloudy & (cth - cbh <= 0),
+                   np.clip(cth - dz, 0.0, None), cbh)
+    geom = np.maximum(cth - cbh, 1e-12)          # total geometric extent
     for k, (z0, z1) in enumerate(zip(z_edges[:-1], z_edges[1:])):
-        zc = 0.5 * (z0 + z1)
-        in_cld = cloudy & (zc >= cbh) & (zc < cth2d)
-        frac = np.where(cgt2d > 0, 1.0 / np.maximum(cgt2d, dz), 0.0)
-        ext[..., k] = np.where(in_cld, cot2d * frac / 1000.0, 0.0)
-        cer[..., k] = np.where(in_cld, cer2d, 0.0)
+        overlap = np.clip(np.minimum(z1, cth) - np.maximum(z0, cbh),
+                          0.0, None)
+        w = np.where(cloudy, overlap / geom, 0.0)   # sums to 1 over k
+        ext[..., k] = cot2d * w / (dz * 1000.0)     # 1/m
+        cer[..., k] = np.where(w > 0, cer2d, 0.0)
     return Cloud3D(x=x, y=y, dx=dx, dy=dy, altitude=alt, thickness=thick,
                    extinction=ext, cer=cer)
 

@@ -246,7 +246,13 @@ def build_phase_table(pha_obj=None, n_u: int = 2048, n_m: int = 2048,
             p_cut = np.where(peak, 0.0, p_s) / max(1.0 - f, 1e-6)
             ang_i = np.rad2deg(np.arccos(np.clip(mu_s[::-1], -1, 1)))
             pha_i = p_cut[::-1]
-        mu_sample[i + 1] = _invert_cdf(ang_i, pha_i, n_u)
+        mu_i = _invert_cdf(ang_i, pha_i, n_u)
+        if f_i > 0:
+            # np.interp resolves the truncated CDF's plateau at 1.0 to the
+            # LAST mu (=1.0, inside the removed cone); the inverse of the
+            # truncated distribution can never exceed mu_t
+            mu_i = np.minimum(mu_i, np.cos(np.deg2rad(forward_trunc_deg)))
+        mu_sample[i + 1] = mu_i
         p_eval[i + 1] = _eval_grid(ang_i, pha_i, n_m)
         # TMS row: full phase / (1-f) (Nakajima & Tanaka 1988); equals the
         # working row when f = 0

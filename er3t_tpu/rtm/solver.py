@@ -33,6 +33,16 @@ def distribute_photon(n_photon, weights, base_ratio=0.05):
     nd = weights.size
     dist = (n_photon * (1 - base_ratio) * weights).astype(np.int64) \
         + int(n_photon * base_ratio / nd)
+    if n_photon >= nd:
+        # integer truncation of the 5% floor can zero out weak g-points at
+        # small budgets; a 0-photon pass has no estimate at all (its
+        # g-weight would multiply a silent zero), so guarantee >=1 each,
+        # funded by the heaviest bins
+        while (dist == 0).any():
+            dist[dist == 0] = 1
+            excess = int(dist.sum() - n_photon)
+            for _ in range(max(excess, 0)):
+                dist[np.argmax(dist)] -= 1
     diff = int(n_photon - dist.sum())
     if diff >= 0:
         dist[np.argmin(weights)] += diff
@@ -93,6 +103,7 @@ class Result:
             f.attrs['toa'] = self.toa
             f.attrs['n_photon'] = self.n_photon
             f.attrs['n_run'] = self.n_run
+            f.attrs['n_photon_effective'] = self.n_photon_effective
 
     @classmethod
     def load_h5(cls, fname):
@@ -106,7 +117,10 @@ class Result:
             return cls(target=str(f.attrs['target']), data=data, std=std,
                        toa=float(f.attrs['toa']),
                        n_photon=float(f.attrs['n_photon']),
-                       n_run=int(f.attrs['n_run']), runs=runs)
+                       n_run=int(f.attrs['n_run']),
+                       n_photon_effective=float(
+                           f.attrs.get('n_photon_effective', 0.0)),
+                       runs=runs)
 
 
 def _single_run(scene, static, cfg, n_photon, seed, chunk=4_000_000,
@@ -391,13 +405,18 @@ def solve(atm=None, abs_coef=None, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
             raise ValueError(spectral)
         per_run.append(red)
 
+    if target == 'heating_rate':
+        # flux-divergence fallback (marching engine / independent
+        # protocol): derive hr PER RUN so std and mode='all' carry
+        # 'hr'/'hr_std' exactly like the direct-tally path does
+        for p in per_run:
+            if 'hr' not in p:
+                p['hr'] = out.heating_rate(p, atm)
+
     keys = [k for k in per_run[0] if k != 'toa']
     data = {k: np.mean([p[k] for p in per_run], axis=0) for k in keys}
     std = {k + '_std': np.std([p[k] for p in per_run], axis=0) for k in keys}
     toa = per_run[0]['toa']
-
-    if target == 'heating_rate' and 'hr' not in data:
-        data['hr'] = out.heating_rate(data, atm)
 
     if diffusion > 0:
         # numerical-diffusion smoothing of per-column fields (MCARaTS
@@ -429,6 +448,10 @@ def _independent_g_run(scene, static, cfg, atm, abs_coef, target,
     import dataclasses as _dc
     ng = abs_coef.ng
     dist = distribute_photon(n_photon, abs_coef.weight)
+    if (dist <= 0).any():
+        raise ValueError(
+            f'independent-protocol runs need photons >= ng ({ng}) so every '
+            f'g-point gets a non-empty pass; got {n_photon}')
     # unit-weight in-kernel contraction: exact for ng=1 (tally unchanged,
     # deposit becomes a scalar scatter)
     rad_w1 = (np.ones(1, np.float32)
@@ -460,7 +483,18 @@ def _independent_g_run(scene, static, cfg, atm, abs_coef, target,
                 acc_pl = np.zeros_like(acc_rad)
             acc_pl[..., g] = rad_pl[..., 0] * wsc
     if target == 'radiance':
-        red = out.reduce_radiance(acc_rad, 1, abs_coef, mu0, date=date)
+        if cfg.sensor_type == 'camera':
+            # camera images need the camera normalization (domain area +
+            # per-pixel solid angle + FOV mask), exactly as the correlated
+            # path applies it — the satellite reduction would be wrong by
+            # nx*ny with no 1/dOmega factor
+            area = (static.nx * static.dx) * (static.ny * static.dy)
+            red = out.reduce_camera_radiance(
+                acc_rad, 1, abs_coef, mu0, domain_area_m2=area,
+                qmax_deg=cfg.cam_qmax, date=date)
+            red.pop('solid_angle', None)
+        else:
+            red = out.reduce_radiance(acc_rad, 1, abs_coef, mu0, date=date)
         if cfg.pathlength:
             w = abs_coef.weight
             with np.errstate(invalid='ignore', divide='ignore'):

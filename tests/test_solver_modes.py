@@ -654,3 +654,56 @@ def test_dynamic_n_photon_no_recompile(atm):
             logger.removeHandler(h)
     assert int(t1.n_launched) == 3_000 and int(t2.n_launched) == 7_000
     assert _Count.n == 0, f'{_Count.n} recompiles for new photon counts'
+
+
+def test_distribute_photon_no_zero_g():
+    """Small budgets must still give every g-point a non-empty pass
+    (integer truncation of the 5% floor zeroed weak bins)."""
+    from er3t_tpu.pre.abs import G16_WEIGHTS
+    d = solver.distribute_photon(100, G16_WEIGHTS)
+    assert d.sum() == 100 and d.min() >= 1
+    d = solver.distribute_photon(16, G16_WEIGHTS)
+    assert d.sum() == 16 and d.min() >= 1
+
+
+def test_camera_independent_matches_correlated(atm):
+    """Camera images through the independent protocol must use the camera
+    normalization (area + per-pixel solid angle), matching the correlated
+    path within MC noise — the satellite reduction is wrong by nx*ny with
+    no solid-angle division."""
+    ab = abs_synthetic(650.0, atm)
+    kw = dict(atm=atm, abs_coef=ab, surface=0.3, target='radiance',
+              sensor_type='camera', camera=dict(zloc=0.0, the=0.0,
+                                                qmax=60.0, npix=8),
+              solar_zenith_angle=30.0, n_run=1, batch=1 << 11)
+    rc = solver.solve(spectral='correlated', photons=120000, seed=3, **kw)
+    ri = solver.solve(spectral='independent', photons=240000, seed=4, **kw)
+    mc = np.nanmean(rc['rad'])
+    mi = np.nanmean(ri['rad'])
+    # the camera point estimator is heavy-tailed; this is a units check
+    # (the bug was a nx*ny-and-solid-angle factor, ~3 orders of magnitude),
+    # not a tight statistical closure
+    assert mi == pytest.approx(mc, rel=0.3)
+    # NaN mask outside the FOV circle present in both
+    assert np.isnan(rc['rad']).any() == np.isnan(ri['rad']).any()
+
+
+def test_hr_fallback_has_std_and_runs(atm):
+    """The flux-divergence hr fallback (marching engine) must populate
+    std['hr_std'] and per-run 'hr' like the direct-tally path."""
+    ab = abs_synthetic(650.0, atm)
+    res = solver.solve(atm=atm, abs_coef=ab, surface=0.1,
+                       target='heating_rate', flux_engine='marching',
+                       photons=20000, n_run=2, batch=1 << 11, mode='all')
+    assert 'hr' in res.data and 'hr_std' in res.std
+    assert all('hr' in r for r in res.runs)
+
+
+def test_result_h5_effective_count_roundtrip(atm, tmp_path):
+    ab = abs_synthetic(650.0, atm)
+    res = solver.solve(atm=atm, abs_coef=ab, surface=0.1, target='flux',
+                       photons=10000, n_run=2, batch=1 << 11)
+    assert res.n_photon_effective == 20000
+    fn = os.path.join(tmp_path, 'eff.h5')
+    res.save_h5(fn)
+    assert solver.Result.load_h5(fn).n_photon_effective == 20000
