@@ -70,6 +70,13 @@ def transport_decomp(scene, st, cfg: SolverConfig, n_photon: int, mesh,
     per-column flux gathered across slabs).
     """
     n_dev = mesh.shape['x']
+    if 'b' not in mesh.shape:
+        # the worker psums over 'b' unconditionally; a 1-D ('x',) mesh
+        # would fail at trace time with an opaque unbound-axis error.
+        # make_mesh() always builds ('x', 'b'); add a size-1 'b' axis.
+        raise ValueError(
+            "transport_decomp needs a mesh with ('x', 'b') axes (use "
+            "dist.mesh.make_mesh, which adds a size-1 'b' axis)")
     if st.nx % n_dev:
         raise ValueError('nx must divide the decomposition axis')
     radiance = cfg.target == 'radiance'

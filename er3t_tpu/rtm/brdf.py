@@ -149,9 +149,16 @@ def brdf_sample_dir_weight(jsfc, psfc, wix, wiy, wiz, u1, u2, u3, u4):
     rx = wix - 2.0 * dot * nx_
     ry = wiy - 2.0 * dot * ny_
     rz = wiz - 2.0 * dot * nz_
-    rf = fresnel_unpolarized(jnp.clip(-dot, 1e-6, 1.0), psfc[:, 2])
+    cos_spec = jnp.clip(-dot, 1e-6, 1.0)
+    rf = fresnel_unpolarized(cos_spec, psfc[:, 2])
     up_ok = rz > 1e-3
-    w_cm_spec = jnp.where(up_ok, rf, 0.0)
+    # unbiased weight under Gaussian-slope sampling: the outgoing-direction
+    # pdf is P(s)/(4 |wi.n| nz^3) (slope->normal Jacobian nz^3, normal->
+    # reflection Jacobian 4|wi.n|), while f*mu_o = P(s) R_F/(4 mu_i nz^4),
+    # so w = f*mu_o/pdf = R_F |wi.n| / (mu_i nz) — R_F alone is biased
+    # O(10%) at large SZA (sampling must agree with coxmunk_rho eval)
+    mu_i_cm = jnp.clip(-wiz, 1e-4, 1.0)
+    w_cm_spec = jnp.where(up_ok, rf * cos_spec / (mu_i_cm * nz_), 0.0)
     # whitecap branch uses the cosine candidate
     w_cm = jnp.where(whitecap, psfc[:, 0], w_cm_spec)
     ux_cm = jnp.where(whitecap, cx, rx)

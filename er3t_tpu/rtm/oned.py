@@ -218,18 +218,23 @@ def solve_plane_parallel(tau, ssa, moments, mu0, mu_v, dphi,
         lam = _norm_assoc_legendre(m, lmax, mu_all)       # (L+1, N+2)
         parity = (-1.0) ** (np.arange(lmax + 1) + m)
 
-        # build the stack bottom-up: surface then layers
+        # Combine all LAYERS first (bottom-up, each new layer on top of the
+        # stack), tracking the stack's reflection/transmission operators
+        # from BOTH sides, then add the surface last.  Adding the surface
+        # first and capturing the interface field at il==0 (the old
+        # scheme) freezes the surface diffuse field before any upper layer
+        # exists — for a 2-layer Rayleigh atmosphere that lost ~45% of the
+        # diffuse-down (energy closure mu0 = up + dir + dif failed).
+        #   Rt/Rb: stack reflection for illumination from above/below;
+        #   Td/Tu: diffuse transmission down/up; rho/theta: beam responses
+        #   (upward at TOA / diffuse downward at stack bottom); e_b: direct
+        #   beam transmission.  Individual homogeneous layers are
+        #   up-down symmetric (P, W both sides); the stack is not.
         n_all = mu_all.size
-        if m == 0:
-            P_b = surface_albedo * np.tile(c, (n_all, 1))
-            # beam response in absolute units (beam amplitude mu0 F0/pi is
-            # folded into the rho vectors throughout): alb * mu0 / pi
-            rho_b = np.full(n_all, surface_albedo * mu0 / np.pi)
-        else:
-            P_b = np.zeros((n_all, n_all))
-            rho_b = np.zeros(n_all)
-        e_stack = 1.0
-        dn_sfc_diffuse = None
+        eye = np.eye(n_all)
+        Rt = Rb = Td = Tu = None
+        rho_b = theta_b = None
+        e_b = 1.0
         for il in range(nlay):
             chi = mom_s[il, :lmax + 1]
             pm_tt = _phase_mode(chi, lam, lam, None)      # p(+i, +j)
@@ -243,24 +248,42 @@ def solve_plane_parallel(tau, ssa, moments, mu0, mu_v, dphi,
                 mu_all, c, mu0)
             P_a, W_a, rho_a, theta_a, e_a = _double(
                 P_a, W_a, rho_a, theta_a, e_a, n_dbl)
-            # adding: layer a on top of stack b
-            eye = np.eye(n_all)
-            d = np.linalg.solve(eye - P_a @ P_b,
-                                theta_a + P_a @ (rho_b * e_a))
-            if il == 0 and m == 0:
-                dn_sfc_diffuse = d                  # diffuse field at surface
-            rho_b = rho_a + W_a @ (rho_b * e_a + P_b @ d)
-            P_b = P_a + W_a @ np.linalg.solve(eye - P_b @ P_a, P_b) @ W_a
-            e_stack *= e_a
-        rad_modes[m, 0] = rho_b[iv]
+            if Rt is None:
+                Rt, Rb, Td, Tu = P_a, P_a, W_a, W_a
+                rho_b, theta_b, e_b = rho_a, theta_a, e_a
+                continue
+            # layer a on top of stack b (beam enters a first)
+            M1 = np.linalg.solve(eye - P_a @ Rt, eye)     # a-below vs b-top
+            M2 = np.linalg.solve(eye - Rt @ P_a, eye)
+            d = M1 @ (theta_a + P_a @ (rho_b * e_a))      # interface, down
+            u = rho_b * e_a + Rt @ d                      # interface, up
+            rho_b = rho_a + W_a @ u
+            theta_b = Td @ d + theta_b * e_a
+            Rt, Rb, Td, Tu = (P_a + W_a @ M2 @ Rt @ W_a,
+                              Rb + Td @ P_a @ M2 @ Tu,
+                              Td @ M1 @ W_a,
+                              W_a @ M2 @ Tu)
+            e_b = e_b * e_a
+        # surface below the whole stack: the interface field here IS the
+        # surface field, with every layer present
+        if m == 0:
+            P_s = surface_albedo * np.tile(c, (n_all, 1))
+            # beam response in absolute units (beam amplitude mu0 F0/pi is
+            # folded into the rho vectors throughout): alb * mu0 / pi
+            rho_s = np.full(n_all, surface_albedo * mu0 / np.pi)
+        else:
+            P_s = np.zeros((n_all, n_all))
+            rho_s = np.zeros(n_all)
+        d_sfc = np.linalg.solve(eye - Rb @ P_s,
+                                theta_b + Rb @ (rho_s * e_b))
+        u_sfc = rho_s * e_b + P_s @ d_sfc
+        rho_tot = rho_b + Tu @ u_sfc
+        rad_modes[m, 0] = rho_tot[iv]
         if m == 0 and flux:
             nq = n_streams
-            f_up_toa = 2 * np.pi * np.sum(w * mu * rho_b[:nq])
-            # surface fields: direct + diffuse down, reflected up
-            if dn_sfc_diffuse is None:
-                dn_sfc_diffuse = np.zeros(n_all)
-            f_dn_dir = mu0 * e_stack
-            f_dn_dif = 2 * np.pi * np.sum(w * mu * dn_sfc_diffuse[:nq])
+            f_up_toa = 2 * np.pi * np.sum(w * mu * rho_tot[:nq])
+            f_dn_dir = mu0 * e_b
+            f_dn_dif = 2 * np.pi * np.sum(w * mu * d_sfc[:nq])
             f_up_sfc = surface_albedo * (f_dn_dir + f_dn_dif)
             flux_out = {'f_up_toa': f_up_toa, 'f_dn_sfc_direct': f_dn_dir,
                         'f_dn_sfc_diffuse': f_dn_dif, 'f_up_sfc': f_up_sfc}

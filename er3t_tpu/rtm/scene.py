@@ -249,6 +249,12 @@ def build_scene(atm, abs_coef, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
         cf3d = np.where(ext3d[..., None] > 0, cf3d, 1.0).astype(np.float32)
         has_3d = True
     else:
+        if aer_3ds:
+            raise ValueError(
+                '3D aerosols ride the cloud grid (Aerosol3D carries no '
+                'geometry of its own); pass cld= to define the 3D region — '
+                'a zero-extinction carrier (e.g. cld_gen_hom(..., cot0=0)) '
+                'works for aerosol-only scenes')
         iz3l, nz3 = 0, 1
         nx = ny = 1
         dx = dy = 1000.0

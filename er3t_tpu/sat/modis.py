@@ -180,6 +180,26 @@ class modis_l1b:
                 self._read_granule(f, resolution, bands, per_band)
             finally:
                 f.close()
+        if extent is not None and f03 is None:
+            raise ValueError(
+                'modis_l1b cannot crop by extent on its own (L1B band data '
+                'carry no same-resolution geolocation); pass the paired '
+                'modis_03 object as f03= — its extent mask is applied to '
+                'every band, block-replicated to finer band resolutions')
+        mask = None
+        if f03 is not None and len(getattr(f03, 'logic', {})) == 1:
+            m = next(iter(f03.logic.values()))['1km']
+            if m.dtype == bool and not m.all():
+                mask = m
+        if mask is not None:
+            from ..util.grid import upscale_2d
+            for b, d in per_band.items():
+                for k, v in d.items():
+                    d[k] = [a[upscale_2d(mask, (a.shape[0] // mask.shape[0],
+                                                a.shape[1] // mask.shape[1]))
+                              .astype(bool)]
+                            if a.shape != mask.shape else a[mask]
+                            for a in v]
         cat = {b: {k: np.concatenate([a.ravel() for a in v])
                    for k, v in d.items()} for b, d in per_band.items()}
         stackf = lambda k: np.stack([cat[b][k] for b in bands])
@@ -441,27 +461,94 @@ class modis_l2:
 
 
 class modis_35_l2:
-    """MOD35_L2 cloud mask (unobstructed-FOV quality flag)."""
+    """MOD35_L2 cloud mask (reference modis.py byte-0 decode).
+
+    Geolocation: the granule's own 5-km Longitude/Latitude upscaled to the
+    1-km grid (upscale_modis_lonlat) masked to ``extent``, or a paired
+    ``modis_03`` object's stored 1-km mask (``f03=``).  MODIS cloud-mask
+    bits are LSB-first: bit0 determined, bits1-2 confidence category,
+    bit3 day/night, bit4 sunglint, bit5 snow/ice, bits6-7 land/water;
+    QA byte 0 gives use_qa (bit0) + confidence_qa (bits1-3)."""
 
     ID = 'MODIS Cloud Mask'
 
-    def __init__(self, fnames, extent=None):
-        masks = []
+    def __init__(self, fnames, f03=None, extent=None):
+        cols = {k: [] for k in
+                ('lon', 'lat', 'cloud_mask', 'cloud_mask_flag', 'fov_qa_cat',
+                 'day_night_flag', 'sunglint_flag', 'snow_ice_flag',
+                 'land_water_cat', 'use_qa', 'confidence_qa')}
         for fname in np.atleast_1d(fnames):
             f = open_any(fname)
             try:
                 cm, _ = f.var('Cloud_Mask')
-                b0 = np.asarray(cm)[0].astype(np.uint8)
-                determined = (b0 & 0x01) > 0
-                conf = (b0 >> 1) & 0x03  # 0 cloudy .. 3 confident clear
-                mask = np.where(determined, conf, 255).astype(np.uint8)
-                masks.append(mask)
+                b0 = np.asarray(cm)[0].astype(np.uint8)     # byte 0, 1 km
+                sel = lon = lat = None
+                if f03 is not None and len(getattr(f03, 'logic', {})) == 1:
+                    # reuse the stored 2-D extent mask of the paired
+                    # granule (shape-matched; modis_03 keys masks by fname;
+                    # multi-granule f03 data would not align per-file)
+                    for m in f03.logic.values():
+                        if m['1km'].shape == b0.shape:
+                            sel = m['1km']
+                            lon = np.asarray(f03.data['lon']['data'])
+                            lat = np.asarray(f03.data['lat']['data'])
+                            break
+                if sel is None:
+                    try:
+                        lon5, _ = f.var('Longitude')
+                        lat5, _ = f.var('Latitude')
+                        lon, lat = upscale_modis_lonlat(
+                            np.asarray(lon5, np.float64),
+                            np.asarray(lat5, np.float64),
+                            scale=5, extra_grid=True)
+                        lon = lon[:b0.shape[0], :b0.shape[1]]
+                        lat = lat[:b0.shape[0], :b0.shape[1]]
+                    except Exception:
+                        lon = lat = None
+                    if lon is not None:
+                        sel = _subset(lon, lat, extent)
+                        lon, lat = lon[sel], lat[sel]
+                pick = (lambda a: a[sel].ravel()) if sel is not None \
+                    else (lambda a: a.ravel())
+                if lon is not None:
+                    cols['lon'].append(np.ravel(lon))
+                    cols['lat'].append(np.ravel(lat))
+                determined = b0 & 0x01
+                conf = (b0 >> 1) & 0x03      # 0 cloudy .. 3 confident clear
+                cols['cloud_mask'].append(pick(
+                    np.where(determined > 0, conf, 255).astype(np.uint8)))
+                cols['cloud_mask_flag'].append(pick(determined))
+                cols['fov_qa_cat'].append(pick(conf))
+                cols['day_night_flag'].append(pick((b0 >> 3) & 1))
+                cols['sunglint_flag'].append(pick((b0 >> 4) & 1))
+                cols['snow_ice_flag'].append(pick((b0 >> 5) & 1))
+                cols['land_water_cat'].append(pick((b0 >> 6) & 3))
+                try:
+                    qa, _ = f.var('Quality_Assurance')
+                    q0 = np.asarray(qa)[..., 0].astype(np.uint8)
+                    cols['use_qa'].append(pick(q0 & 1))
+                    cols['confidence_qa'].append(pick((q0 >> 1) & 7))
+                except Exception:
+                    pass
             finally:
                 f.close()
-        self.data = {
-            'cloud_mask': _entry(np.concatenate([m.ravel() for m in masks]),
-                                 'Cloud mask (0 cloudy..3 clear)'),
-        }
+        names = {
+            'cloud_mask': 'Cloud mask (0 cloudy..3 clear; 255 undetermined)',
+            'cloud_mask_flag': 'Cloud mask determined (0=not 1=determined)',
+            'fov_qa_cat': 'FOV category (0=cloudy..3=confident clear)',
+            'day_night_flag': 'Day/night (0=night 1=day)',
+            'sunglint_flag': 'Sunglint flag',
+            'snow_ice_flag': 'Snow/ice background flag',
+            'land_water_cat': 'Land/water (0=water..3=land)',
+            'use_qa': 'QA: usefulness (0=discard 1=useful)',
+            'confidence_qa': 'QA: confidence (0..7)',
+            'lon': 'Longitude', 'lat': 'Latitude'}
+        self.data = {}
+        for k, v in cols.items():
+            if v:
+                self.data[k] = _entry(
+                    np.concatenate(v), names[k],
+                    'deg' if k in ('lon', 'lat') else 'N/A')
 
 
 class modis_04:
@@ -639,24 +726,46 @@ class modis_29:
     def __init__(self, fname, f03=None, extent=None):
         f = open_any(fname)
         try:
+            d_ice, a_ice = f.var('Sea_Ice_by_Reflectance')
+            d_t, a_t = f.var('Ice_Surface_Temperature')
+            d_ice = np.asarray(d_ice)
+            ist = apply_scaling(d_t, a_t)
             try:
                 lon, _ = f.var('Longitude')
                 lat, _ = f.var('Latitude')
+                lon, lat = np.asarray(lon), np.asarray(lat)
+                sel = _subset(lon, lat, extent)
             except Exception:
                 if f03 is None:
                     raise ValueError('modis_29 needs 1-km geolocation: pass '
                                      'a modis_03 object as f03')
-                lon = f03.data['lon']['data']
-                lat = f03.data['lat']['data']
-            sel = _subset(np.asarray(lon), np.asarray(lat), extent)
-            d_ice, a_ice = f.var('Sea_Ice_by_Reflectance')
-            d_t, a_t = f.var('Ice_Surface_Temperature')
-            ist = apply_scaling(d_t, a_t)
+                # f03.data lon/lat are already extent-masked 1-D; its
+                # stored 2-D mask (shape-matched) indexes this granule's
+                # SDS arrays consistently
+                lon = np.asarray(f03.data['lon']['data'])
+                lat = np.asarray(f03.data['lat']['data'])
+                sel = None
+                for m in getattr(f03, 'logic', {}).values():
+                    if m['1km'].shape == d_ice.shape:
+                        sel = m['1km']
+                        break
+                if sel is None or int(sel.sum()) != lon.size:
+                    raise ValueError(
+                        'modis_29: the f03 mask does not match this '
+                        'granule shape; build modis_03 from the paired '
+                        'MOD03 granule (same extent, single file)')
+                self.data = {
+                    'lon': _entry(lon, 'Longitude', 'deg'),
+                    'lat': _entry(lat, 'Latitude', 'deg'),
+                    'ice_extent': _entry(d_ice[sel],
+                                         'Sea Ice by Reflectance'),
+                    'ist': _entry(ist[sel], 'Ice Surface Temperature', 'K'),
+                }
+                return
             self.data = {
-                'lon': _entry(np.asarray(lon)[sel], 'Longitude', 'deg'),
-                'lat': _entry(np.asarray(lat)[sel], 'Latitude', 'deg'),
-                'ice_extent': _entry(np.asarray(d_ice)[sel],
-                                     'Sea Ice by Reflectance'),
+                'lon': _entry(lon[sel], 'Longitude', 'deg'),
+                'lat': _entry(lat[sel], 'Latitude', 'deg'),
+                'ice_extent': _entry(d_ice[sel], 'Sea Ice by Reflectance'),
                 'ist': _entry(ist[sel], 'Ice Surface Temperature', 'K'),
             }
         finally:

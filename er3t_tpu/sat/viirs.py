@@ -409,13 +409,21 @@ class viirs_09:
                  nx=None, ny=None):
         refs = []
         for fname in np.atleast_1d(fnames):
+            mask = None
+            if f03 is not None:
+                mask = f03.logic.get(get_fname_pattern(fname),
+                                     {}).get('mask')
             f = open_any(fname)
             try:
                 for cand in (f'{band} Surface Reflectance',
                              f'SurfReflect_{band}', band):
                     try:
                         r, a = f.var(cand)
-                        refs.append(apply_scaling(r, a))
+                        r = apply_scaling(r, a)
+                        # keep ref aligned with the f03 lon/lat (which
+                        # carry f03's extent mask) for the gridding below
+                        refs.append(r[mask] if mask is not None
+                                    and mask.shape == r.shape else r)
                         break
                     except Exception:
                         continue
@@ -457,9 +465,13 @@ class viirs_mvcm_cldmsk_l2:
             f.close()
 
 
-def _tile_lonlat(fname, nx, ny):
+def _tile_lonlat(fname, nrow, ncol):
     """Approximate lon/lat of a sinusoidal-tile product from its hXXvYY tag
-    (reference derives them from the projection; analytic inverse here)."""
+    (reference derives them from the projection; analytic inverse here).
+
+    HDF-EOS tile arrays are (YDim, XDim): rows run north->south (the tile's
+    descending y), columns west->east — so latitude varies along axis 0 and
+    longitude along axis 1, matching ``data[row, col]``."""
     import re
     from .modis import cal_sinusoidal_grid, _R_SINU
     m = re.search(r'h(\d\d)v(\d\d)', fname)
@@ -467,9 +479,9 @@ def _tile_lonlat(fname, nx, ny):
         return None, None, None, None
     ih, iv = int(m.group(1)), int(m.group(2))
     gx, gy = cal_sinusoidal_grid()
-    x = np.linspace(gx[ih], gx[ih + 1], nx, endpoint=False)
-    y = np.linspace(gy[iv], gy[iv + 1], ny, endpoint=False)
-    xx, yy = np.meshgrid(x, y, indexing='ij')
+    x = np.linspace(gx[ih], gx[ih + 1], ncol, endpoint=False)   # cols: x
+    y = np.linspace(gy[iv], gy[iv + 1], nrow, endpoint=False)   # rows: y N->S
+    yy, xx = np.meshgrid(y, x, indexing='ij')                   # (nrow, ncol)
     lat = np.rad2deg(yy / _R_SINU)
     with np.errstate(invalid='ignore', divide='ignore'):
         lon = np.rad2deg(xx / (_R_SINU * np.cos(np.deg2rad(lat))))

@@ -104,14 +104,27 @@ def grid_by_extent(lon, lat, data, extent, nx=None, ny=None):
 
 def grid_by_lonlat(lon, lat, data, lon_1d, lat_1d):
     """Average onto cell centres given by 1D lon/lat arrays
-    (reference: util.py:561-660)."""
+    (reference: util.py:561-660).
+
+    Descending axes (common for satellite L3 grids, north-first latitude)
+    are binned on the flipped ascending grid and flipped back —
+    np.searchsorted on decreasing edges would silently return garbage
+    bins."""
     lon_1d = np.asarray(lon_1d)
     lat_1d = np.asarray(lat_1d)
-    dlon = np.diff(lon_1d).mean()
-    dlat = np.diff(lat_1d).mean()
-    lon_e = np.concatenate([lon_1d - dlon / 2, [lon_1d[-1] + dlon / 2]])
-    lat_e = np.concatenate([lat_1d - dlat / 2, [lat_1d[-1] + dlat / 2]])
+    flip_x = lon_1d.size > 1 and lon_1d[1] < lon_1d[0]
+    flip_y = lat_1d.size > 1 and lat_1d[1] < lat_1d[0]
+    lx = lon_1d[::-1] if flip_x else lon_1d
+    ly = lat_1d[::-1] if flip_y else lat_1d
+    dlon = np.diff(lx).mean()
+    dlat = np.diff(ly).mean()
+    lon_e = np.concatenate([lx - dlon / 2, [lx[-1] + dlon / 2]])
+    lat_e = np.concatenate([ly - dlat / 2, [ly[-1] + dlat / 2]])
     grid = _grid_core(lon, lat, data, lon_e, lat_e)
+    if flip_x:
+        grid = grid[::-1, :]
+    if flip_y:
+        grid = grid[:, ::-1]
     lon2d, lat2d = np.meshgrid(lon_1d, lat_1d, indexing='ij')
     return lon2d, lat2d, grid
 

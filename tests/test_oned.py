@@ -125,3 +125,42 @@ def test_mc_vs_doubling_adding_cloud(mc_env):
                                     np.cos(np.deg2rad(sza)), 1.0, 0.0,
                                     surface_albedo=alb, n_streams=16)
         assert i_mc == pytest.approx(i_da, rel=0.03), sza
+
+
+def test_multilayer_surface_diffuse_closure():
+    """Surface diffuse flux must be layer-split invariant and close the
+    energy budget (regression: the surface-first adding scheme froze the
+    surface field before upper layers existed, losing ~45% of diffuse-down
+    for a 2-layer Rayleigh atmosphere)."""
+    import numpy as np
+
+    from er3t_tpu.rtm.oned import (hg_moments, rayleigh_moments,
+                                   solve_plane_parallel)
+
+    mu0 = np.cos(np.deg2rad(30.0))
+    mom1 = rayleigh_moments(3)
+    results = []
+    for taus in ([0.4], [0.2, 0.2], [0.1] * 4):
+        n = len(taus)
+        mom = np.tile(mom1, (n, 1))
+        _, fl = solve_plane_parallel(np.array(taus), np.ones(n), mom, mu0,
+                                     0.8, np.array([0.0]),
+                                     surface_albedo=0.0, flux=True)
+        total = (fl['f_up_toa'] + fl['f_dn_sfc_direct']
+                 + fl['f_dn_sfc_diffuse'])
+        assert total == pytest.approx(mu0, rel=1e-4)   # conservative medium
+        results.append(fl['f_dn_sfc_diffuse'])
+    assert results[0] == pytest.approx(results[1], rel=1e-6)
+    assert results[0] == pytest.approx(results[2], rel=1e-6)
+    # inhomogeneous split invariance incl. a reflecting surface
+    kw = dict(mu0=mu0, mu_v=0.8, dphi=np.array([0.0]), surface_albedo=0.2,
+              flux=True)
+    _, f2 = solve_plane_parallel(
+        np.array([0.3, 5.0]), np.array([1.0, 0.99]),
+        np.vstack([rayleigh_moments(32), hg_moments(0.85, 32)]), **kw)
+    _, f4 = solve_plane_parallel(
+        np.array([0.15, 0.15, 2.5, 2.5]), np.array([1.0, 1.0, 0.99, 0.99]),
+        np.vstack([rayleigh_moments(32)] * 2 + [hg_moments(0.85, 32)] * 2),
+        **kw)
+    for k in f2:
+        assert f2[k] == pytest.approx(f4[k], rel=1e-6)

@@ -449,6 +449,12 @@ def test_viirs_tile_products(tmp_path):
     # h09v05: lon in [-100.8.., -70..], lat in [30, 40)
     assert 29.5 <= o.data['lat']['data'].min() <= 30.5
     assert o.data['lat']['data'].max() < 40.01
+    # orientation: HDF-EOS tiles are (YDim, XDim) — lat varies along
+    # axis 0 (descending, rows run N->S), lon along axis 1 (ascending)
+    lat2, lon2 = o.data['lat']['data'], o.data['lon']['data']
+    assert np.all(np.diff(lat2[:, 0]) < 0)
+    assert np.allclose(lat2[0, :], lat2[0, 0])
+    assert np.all(np.diff(lon2[0, :]) > 0)
 
     f2 = tmp_path / 'VNP43MA3.A2019241.h09v05.002.h5'
     with h5py.File(f2, 'w') as f:
