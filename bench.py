@@ -106,7 +106,8 @@ def main():
     from er3t_tpu.rtm.out import spectral_factors
 
     ab, scene, st = build()
-    # production config: per-tile majorants + 20-deg truncation (TMS) +
+    # production config: per-tile majorants + 25-deg truncation (TMS,
+    # set in build() above — the round-5 t25 adoption) +
     # in-kernel spectral contraction of image deposits (rad_w) + the Pallas
     # MXU phase-pair kernel (use_pallas; physics matched to the XLA path to
     # 0.05%, tests/test_pallas_phase.py) + stratified-jitter launch
@@ -154,7 +155,7 @@ def main():
     chunk = 8_000_000
     target_seconds = 110.0
     chunk_rates = []
-    n_done, t_used, i = 0, 0.0, 0
+    t_used, i = 0.0, 0
     while (t_used < target_seconds or
            sum(1 for r in chunk_rates
                if r >= 0.5 * max(chunk_rates)) < 3) and i < 32 \
@@ -167,7 +168,6 @@ def main():
             break
         dt = time.time() - t0
         chunk_rates.append(n_l / dt)
-        n_done += n_l
         t_used += dt
         i += 1
         if dt < 25.0 and chunk < 32_000_000:

@@ -47,12 +47,15 @@ def init_distributed(**kwargs):
 def make_mesh(n_devices: int | None = None, decomp: int | None = None):
     """Build a ('x', 'b') mesh over the first ``n_devices`` devices.
 
-    ``decomp`` fixes the size of the domain-decomposition axis; by default
-    the mesh is 1D over 'x' (pure domain decomposition) when the device
-    count is small, else a balanced 2D split.
+    ``decomp`` fixes the size of the domain-decomposition axis 'x'
+    (default: all devices on 'x', i.e. pure domain decomposition; pass
+    ``decomp=1`` for pure photon parallelism).
     """
     devs = jax.devices()
     n = n_devices or len(devs)
+    if n > len(devs):
+        raise ValueError(
+            f'requested {n} devices, only {len(devs)} available')
     devs = devs[:n]
     if decomp is None:
         decomp = n

@@ -59,9 +59,23 @@ def mc_ref_run(scene, st, albedo, sza_deg, saa_deg, n_photon, seed=1,
 
     z_lev = f64(scene.z_lev)
     sig_ray = f64(scene.sig_ray)
-    # the C++ cross-check models one conservative aerosol channel; collapse
-    # per-constituent profiles (cross-validation scenes carry no aerosol)
-    sig_aer = f64(np.asarray(scene.sig_aer).sum(axis=1))
+    # the C++ cross-check models one CONSERVATIVE aerosol channel using the
+    # LAST phase row (mc_ref.cpp); guard the assumptions loudly so a future
+    # cross-validation scene with absorbing or multi-constituent aerosol
+    # cannot silently validate against wrong reference physics (the ns3
+    # guard below does the same for the 3D region)
+    aer_ext = np.asarray(scene.sig_aer)
+    if aer_ext.any():
+        if aer_ext.shape[1] > 1 and (aer_ext != 0).any(axis=0).sum() > 1:
+            raise NotImplementedError(
+                'the native cross-check solver models a single aerosol '
+                'constituent (last phase row)')
+        if (np.asarray(scene.aer_ssa) < 1.0).any():
+            raise NotImplementedError(
+                'the native cross-check solver treats aerosol as '
+                'conservative (ssa=1); absorbing aerosol scenes are '
+                'cross-validated flight-vs-marching instead')
+    sig_aer = f64(aer_ext.sum(axis=1))
     kabs = f64(scene.kabs)
     sig_maj = f64(scene.sig_maj)
     if getattr(st, 'ns3', 1) != 1:

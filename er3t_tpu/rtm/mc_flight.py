@@ -281,19 +281,10 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
 
     if camera:
         cam_z = jnp.asarray(cfg.cam_zloc, _F)
-        _cp, _ct, _cs = (np.deg2rad(cfg.cam_phi), np.deg2rad(cfg.cam_the),
-                         np.deg2rad(cfg.cam_psi))
-
-        def _rz(a):
-            return np.array([[np.cos(a), -np.sin(a), 0.0],
-                             [np.sin(a), np.cos(a), 0.0], [0.0, 0.0, 1.0]])
-
-        def _ry(a):
-            return np.array([[np.cos(a), 0.0, np.sin(a)], [0.0, 1.0, 0.0],
-                             [-np.sin(a), 0.0, np.cos(a)]])
-
-        # world -> camera frame (camera axis = Rz(phi) Ry(the) zhat)
-        cam_rot = (_rz(_cp) @ _ry(_ct) @ _rz(_cs)).T.astype(np.float32)
+        # world -> camera frame (camera axis = Rz(phi) Ry(the) zhat);
+        # shared Euler helper so quasi and MC pixel mappings stay aligned
+        from .scene import camera_rotation
+        cam_rot = camera_rotation(cfg.cam_phi, cfg.cam_the, cfg.cam_psi).T
 
     uniform_sfc = (st.nxs == 1 and st.nys == 1)
     # packed surface table: [jsfc, p0..p4] — one gather per surface event
@@ -844,7 +835,13 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                 a_up_f = jnp.concatenate(
                     [jnp.zeros((B, 1, ng), _F), jnp.cumsum(ee_f, axis=1)],
                     axis=1)
-                esc = thin[:, None] & (s_cross > 0.0)
+                # forced surface-reflected flights start EXACTLY at z=0
+                # going up: admit their level-0 crossing (s_cross == 0)
+                # like the collided path's up0 — otherwise the escape
+                # share exp(-OD) of f_up at the surface level is dropped
+                esc = thin[:, None] & (
+                    (s_cross > 0.0)
+                    | ((going_up & (z <= 0.0))[:, None] & (lev_iota == 0)))
                 w_x = w_x + ((wsc_pre * jnp.exp(-total_od))[:, None, None]
                              * jnp.exp(labs_bg[:, None, :] - a_up_f)
                              * esc[:, :, None].astype(_F))
@@ -1072,7 +1069,19 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
         if uniform_sfc:
             srow = jnp.broadcast_to(sfc_tab[0], (B, 6))
         else:
-            sxi = local_ix(x)
+            if st.nxs == st.nx:
+                # surface follows the (local) atmosphere grid — under
+                # decomposition the table is sharded with the slabs
+                sxi = local_ix(x)
+            else:
+                # independent surface grid (st.nxs != atmosphere nx, e.g.
+                # a coarser sfc_2d_gen map): index by GLOBAL fraction —
+                # the atmosphere-grid local_ix would read wrong rows and
+                # clamp out of bounds
+                lxg = (slab.nx_global if slab is not None else st.nx) \
+                    * st.dx
+                sxi = jnp.clip(jnp.floor(x / lxg * st.nxs).astype(jnp.int32),
+                               0, st.nxs - 1)
             syi = jnp.floor(y / ly * st.nys).astype(jnp.int32) % st.nys
             srow = sfc_tab[sxi * st.nys + syi]
         jsfc_l = srow[:, 0].astype(jnp.int32)
@@ -1116,7 +1125,19 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                 theta = jnp.arccos(jnp.clip(vz, -1.0, 1.0))
                 phi_c = jnp.arctan2(vy, vx)
                 in_fov = theta <= jnp.deg2rad(cfg.cam_qmax)
-                contrib = jnp.where((accept & in_fov)[None, :], c_vol, 0.0)
+                # surface local estimate toward the camera (counterpart of
+                # the satellite branch's c_sfc): reflected energy density
+                # per steradian is rho(wi->ws) cos(theta_out), and the
+                # same 1/r^2 aperture-flux conversion as c_vol applies —
+                # without it a down-looking camera never sees the direct
+                # surface-reflected signal (the dominant clear-pixel term)
+                rho_cam = brdf_eval(jsfc_l, psfc_l, ux, uy, uz,
+                                    wsx_c, wsy_c, wsz_c)
+                c_sfc_cam = (wsc * rho_cam * jnp.maximum(wsz_c, 0.0)
+                             / (r_cam * r_cam))[None, :] * t_sens
+                contrib = jnp.where((accept & in_fov)[None, :], c_vol,
+                                    jnp.where((hit_sfc & in_fov)[None, :],
+                                              c_sfc_cam, 0.0))
                 pr = jnp.clip(theta / jnp.deg2rad(cfg.cam_qmax), 0.0, 0.999)
                 cam_px = jnp.clip(((0.5 + 0.5 * pr * jnp.cos(phi_c)) * nxr)
                                   .astype(jnp.int32), 0, nxr - 1)
@@ -1137,8 +1158,13 @@ def make_flight_kernel(scene: SceneArrays, st: SceneStatic, cfg: SolverConfig,
                 # direct-beam surface estimates) — BIASED, never physics
                 contrib = jnp.where(direct[None, :], 0.0, contrib)
 
-            # pathlength at detection: path so far + vertical exit path to TOA
-            pl_det = plen + (z_top - z) / mu_s                  # (B,)
+            # pathlength at detection: path so far + the sensor leg —
+            # event->camera distance for a camera, else the slant exit
+            # path to TOA toward the satellite
+            if camera:
+                pl_det = plen + r_cam                           # (B,)
+            else:
+                pl_det = plen + (z_top - z) / mu_s              # (B,)
             if scalar_rad:
                 # in-kernel spectral contraction (see docstring): one scalar
                 # deposit per event instead of an (Ng,)-wide row

@@ -149,5 +149,14 @@ def phase_pair(apf, row_e, mu_sc, u, packed: PackedPhase, meta,
     lb = min(int(lb), int(apf.shape[0]))
     while apf.shape[0] % lb:      # grid = B // lb must cover every lane
         lb //= 2
+    if lb < 256:
+        # a small odd factor in B (e.g. 4097) collapses lb toward 1 —
+        # thousands of serial (lb, K)@(K, 128) kernel invocations per
+        # step, which effectively hangs the run (and long device calls
+        # fault the tunnel).  Batch sizes are a user knob; fail loudly.
+        raise ValueError(
+            f'use_pallas needs batch divisible into >=256-lane blocks; '
+            f'batch={int(apf.shape[0])} only divides down to lb={lb}. '
+            f'Use a power-of-two batch or set use_pallas=False')
     return _phase_pair(apf, row_e, mu_sc, u, packed, meta_t=meta_t, lb=lb,
                        interpret=interpret)

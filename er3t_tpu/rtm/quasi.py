@@ -67,18 +67,8 @@ def _render(scene, st, cfg, n_steps):
     vx = jnp.sin(theta) * jnp.cos(phi)
     vy = jnp.sin(theta) * jnp.sin(phi)
     vz = jnp.cos(theta)
-    _cp, _ct, _cs = (np.deg2rad(cfg.cam_phi), np.deg2rad(cfg.cam_the),
-                     np.deg2rad(cfg.cam_psi))
-
-    def _rz(a):
-        return np.array([[np.cos(a), -np.sin(a), 0.0],
-                         [np.sin(a), np.cos(a), 0.0], [0.0, 0.0, 1.0]])
-
-    def _ry(a):
-        return np.array([[np.cos(a), 0.0, np.sin(a)], [0.0, 1.0, 0.0],
-                         [-np.sin(a), 0.0, np.cos(a)]])
-
-    rot = (_rz(_cp) @ _ry(_ct) @ _rz(_cs)).astype(np.float32)   # cam -> world
+    from .scene import camera_rotation
+    rot = camera_rotation(cfg.cam_phi, cfg.cam_the, cfg.cam_psi)  # cam->world
     # view direction of each pixel = direction the camera LOOKS (photon
     # travel toward the camera is -d)
     dx_w = rot[0, 0] * vx + rot[0, 1] * vy + rot[0, 2] * vz
@@ -242,16 +232,28 @@ def _render(scene, st, cfg, n_steps):
     tau0 = jnp.zeros((n_ray, ng), _F)
     (tau_v, acc), _ = jax.lax.scan(step, (tau0, tau0), jnp.arange(n_steps))
 
-    # Lambertian surface term at the ray's surface hit
+    # surface term at the ray's surface hit: an effective Lambertian
+    # albedo per surface TYPE (quicklook-grade) — psfc[...,0] is only an
+    # albedo for Lambertian/LSRT(f_iso approx); for Cox-Munk it is the
+    # whitecap albedo, so blend it with the Fresnel directional albedo at
+    # the solar zenith for the specular fraction
+    from .brdf import fresnel_unpolarized
     hit_sfc = d[:, 2] < 0
     pos_s = cam[None, :] + d * s_end[:, None]
     _, _, _, _, _, _, t_sun_s, xs, ys = sample(pos_s)
+    psfc_f = scene.psfc.reshape(-1, 5)
+    jsfc_f = scene.jsfc.reshape(-1)
     if st.nxs == 1 and st.nys == 1:
-        alb = jnp.broadcast_to(scene.psfc.reshape(-1, 5)[0, 0], (n_ray,))
+        idx_s = jnp.zeros(n_ray, jnp.int32)
     else:
         sxi = jnp.clip((xs / lx * st.nxs).astype(jnp.int32), 0, st.nxs - 1)
         syi = jnp.clip((ys / ly * st.nys).astype(jnp.int32), 0, st.nys - 1)
-        alb = scene.psfc.reshape(-1, 5)[sxi * st.nys + syi, 0]
+        idx_s = sxi * st.nys + syi
+    p_s = psfc_f[idx_s]
+    alb_cm = (p_s[:, 1] * p_s[:, 0]
+              + (1.0 - p_s[:, 1])
+              * fresnel_unpolarized(jnp.full(n_ray, mu0, _F), p_s[:, 2]))
+    alb = jnp.where(jsfc_f[idx_s] == 2, alb_cm, p_s[:, 0])
     i_sfc = (alb * mu0 / jnp.pi)[:, None] * jnp.exp(-tau_v - t_sun_s)
     acc = acc + jnp.where(hit_sfc[:, None], i_sfc, 0.0)
 

@@ -348,3 +348,22 @@ def build_scene(atm, abs_coef, cld=None, pha=None, aer_1ds=(), aer_3ds=(),
         sfc_lambertian=bool(np.all(np.asarray(sfc.jsfc) == SFC_LAMBERTIAN)),
     )
     return arrays, static
+
+
+def camera_rotation(phi_deg, the_deg, psi_deg):
+    """Camera-frame -> world rotation, Z-Y-Z Euler (MCARaTS
+    Rad_phi/the/psi).  Shared by the MC flight kernel (transposed:
+    world -> camera) and the quasi renderer so their pixel mappings can
+    never desynchronize."""
+    cp, ct, cs = (np.deg2rad(phi_deg), np.deg2rad(the_deg),
+                  np.deg2rad(psi_deg))
+
+    def rz(a):
+        return np.array([[np.cos(a), -np.sin(a), 0.0],
+                         [np.sin(a), np.cos(a), 0.0], [0.0, 0.0, 1.0]])
+
+    def ry(a):
+        return np.array([[np.cos(a), 0.0, np.sin(a)], [0.0, 1.0, 0.0],
+                         [-np.sin(a), 0.0, np.cos(a)]])
+
+    return (rz(cp) @ ry(ct) @ rz(cs)).astype(np.float32)

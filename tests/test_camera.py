@@ -131,3 +131,32 @@ def test_camera_importance_launch_unbiased():
             n += int(tal.n_launched)
         means[sig] = acc / n
     assert means[1.0] == pytest.approx(means[0.0], rel=0.06)
+
+
+def test_airborne_camera_surface_reflection():
+    """A down-looking camera over a bright Lambertian surface must tally
+    the direct surface-reflected signal (regression: the camera branch had
+    no surface local-estimate term, so clear-pixel radiance came only from
+    higher-order volume scatters).  Nadir pixel ~ alb*mu0*E/pi."""
+    atm = atm_atmmod(np.linspace(0, 20, 21))
+    ab = abs_synthetic(650.0, atm)
+    ab.abso_coef[:] = 0.0
+    alb, sza = 0.5, 30.0
+    scn, st = build_scene(atm, ab, surface=alb, solar_zenith_angle=sza)
+    # camera low enough that the central pixels' ground footprint stays
+    # inside the 1-km periodic domain (theta<7.5 deg at 1 km -> 132 m)
+    cfg = SolverConfig(target='radiance', batch=1 << 12,
+                       sensor_type='camera', cam_npix=16, cam_qmax=60.0,
+                       cam_zloc=1000.0, cam_the=180.0, cam_rmin=50.0)
+    tal = run_transport_flight(scn, st, cfg, 200_000, seed=12)
+    mu0 = np.cos(np.deg2rad(sza))
+    out = reduce_camera_radiance(np.asarray(tal.rad), int(tal.n_launched),
+                                 ab, mu0, st.nx * st.dx * st.ny * st.dy,
+                                 60.0)
+    rad = out['rad']
+    toa = out['toa']
+    # analytic Lambertian ground radiance (Rayleigh adds a small haze term)
+    expect = alb * mu0 * toa / np.pi
+    nadir = np.nanmean(rad[7:9, 7:9])
+    assert nadir == pytest.approx(expect, rel=0.3)
+    assert nadir > 0.5 * expect     # was ~0 without the surface term
