@@ -37,10 +37,18 @@ def move_correlate(mask_a, mask_b, max_offset=10):
     if a.sum() == 0 or b.sum() == 0:
         return 0, 0
     best, best_off = -1.0, (0, 0)
+    ii = np.arange(a.shape[0])[:, None]
+    jj = np.arange(a.shape[1])[None, :]
     for di in range(-max_offset, max_offset + 1):
         for dj in range(-max_offset, max_offset + 1):
             s = np.roll(np.roll(b, di, axis=0), dj, axis=1)
-            score = float((a * s).sum())
+            # exclude content wrapped past the domain edge — the
+            # reference scores only in-bounds samples (util.py:360-373);
+            # wrapped copies create spurious overlap at wrong shifts for
+            # clouds near the boundary
+            valid = ((ii >= di) if di >= 0 else (ii < a.shape[0] + di)) \
+                & ((jj >= dj) if dj >= 0 else (jj < a.shape[1] + dj))
+            score = float((a * s * valid).sum())
             if score > best:
                 best, best_off = score, (di, dj)
     return best_off
@@ -104,14 +112,23 @@ def shift_fields(fields, di, dj, fill=0.0):
 
 def correct_cloud_map(cot, cer, cth, *, sfh_km=0.0, vza_deg=0.0,
                       vaa_deg=0.0, u10=0.0, v10=0.0, dt_s=0.0,
-                      dx_km=0.25, dy_km=0.25, mode='3d'):
+                      dx_km=0.25, dy_km=0.25, mode='3d', align_mask=None,
+                      align_max_offset=10):
     """Compose the full correction chain for a retrieved cloud map.
 
     ``mode='3d'``: parallax + wind (the reference's 3D branch,
     :1058-1100); ``mode='ipa'``: wind only (:1024-1050 — IPA runs keep the
     apparent positions since the IPA forward model sees the same
-    parallax).  Returns (cot, cer, cth, mask).
+    parallax).  ``align_mask``: an independent cloud mask (e.g. the
+    reflectance-derived one) to register the map against by integer
+    cross-correlation first — the reference's ``move_correlate`` step of
+    ``cdata_cld_ipa`` (:912-935), applied before the physical
+    corrections.  Returns (cot, cer, cth, mask).
     """
+    dia = dja = 0.0
+    if align_mask is not None:
+        dia, dja = move_correlate(align_mask, np.asarray(cot) > 0,
+                                  max_offset=align_max_offset)
     if mode == '3d':
         dip, djp = parallax_shift(cth, sfh_km, vza_deg, vaa_deg,
                                   dx_km, dy_km)
@@ -119,5 +136,6 @@ def correct_cloud_map(cot, cer, cth, *, sfh_km=0.0, vza_deg=0.0,
         dip = djp = 0.0
     diw, djw = wind_shift(u10, v10, dt_s, dx_km, dy_km)
     (cot_c, cer_c, cth_c), msk = shift_fields(
-        [cot, cer, cth], np.asarray(dip) + diw, np.asarray(djp) + djw)
+        [cot, cer, cth], np.asarray(dip) + diw + dia,
+        np.asarray(djp) + djw + dja)
     return cot_c, cer_c, cth_c, msk

@@ -128,6 +128,9 @@ def func_ref_vs_cot(atm, wavelength=650.0, cot_grid=None, cer0=10.0,
 
     c = _Curve()
     c.ref = ref
+    c.toa = float(res.toa)     # TOA irradiance [W/m^2/nm]: converts an
+    #                            observed radiance to the curve's
+    #                            reflectance convention, pi L / (toa mu0)
     iref = np.searchsorted(np.asarray(pha.data['ref']), cer0)
     g0 = float(np.asarray(pha.data['asy'])[min(iref, len(pha.data['asy']) - 1)])
     c.ref_2s = r_twostream(cot_grid, a=surface_albedo, g=g0, mu=mu0)

@@ -19,11 +19,19 @@ import os
 
 import numpy as np
 
-__all__ = ['open_any', 'read_var', 'apply_scaling']
+__all__ = ['open_any', 'read_var', 'apply_scaling', 'sniff_format']
 
 
 def apply_scaling(data, attrs):
-    """Mask fill values, apply scale_factor/add_offset -> float array."""
+    """Mask fill values, apply scale_factor/add_offset -> float array.
+
+    Packing conventions differ by format: HDF4/MODIS SDSes use
+    ``(raw - add_offset) * scale_factor`` while netCDF/HDF5 follow CF,
+    ``raw * scale_factor + add_offset`` (the reference gets this via
+    netCDF4 auto-maskandscale, util.py:326-338).  The adapters tag the
+    attrs dict with the file's convention; untagged callers default to
+    the HDF4 convention (identical whenever add_offset is 0).
+    """
     arr = np.asarray(data).astype(np.float64)
     fill = attrs.get('_FillValue', attrs.get('missing_value'))
     valid = attrs.get('valid_range')
@@ -36,7 +44,10 @@ def apply_scaling(data, attrs):
             mask |= (arr < v[0]) | (arr > v[1])
     scale = np.float64(np.squeeze(attrs.get('scale_factor', 1.0)))
     offset = np.float64(np.squeeze(attrs.get('add_offset', 0.0)))
-    arr = (arr - offset) * scale
+    if attrs.get('__convention__') == 'cf':
+        arr = arr * scale + offset
+    else:
+        arr = (arr - offset) * scale
     arr[mask] = np.nan
     return arr
 
@@ -48,7 +59,9 @@ class _H5Adapter:
 
     def var(self, name):
         ds = self.f[name]
-        return np.asarray(ds[...]), dict(ds.attrs)
+        attrs = dict(ds.attrs)
+        attrs['__convention__'] = 'cf'
+        return np.asarray(ds[...]), attrs
 
     def close(self):
         self.f.close()
@@ -65,7 +78,9 @@ class _NC4Adapter:
         for part in name.strip('/').split('/')[:-1]:
             v = v.groups[part]
         v = v.variables[name.strip('/').split('/')[-1]]
-        return np.asarray(v[...]), {k: v.getncattr(k) for k in v.ncattrs()}
+        attrs = {k: v.getncattr(k) for k in v.ncattrs()}
+        attrs['__convention__'] = 'cf'
+        return np.asarray(v[...]), attrs
 
     def close(self):
         self.f.close()
@@ -81,6 +96,7 @@ class _NC3Adapter:
         attrs = {k: getattr(v, k) for k in dir(v)
                  if k in ('scale_factor', 'add_offset', '_FillValue',
                           'missing_value', 'valid_range', 'units')}
+        attrs['__convention__'] = 'cf'
         return np.asarray(v[:]), attrs
 
     def close(self):
@@ -100,20 +116,37 @@ class _H4Adapter:
         self.f.end()
 
 
+def sniff_format(fname):
+    """Magic-byte format tag: 'hdf4' | 'nc3' | 'idl' | 'hdf5'.
+
+    Single source of truth for the dispatch used by open_any and the
+    bin/lss + bin/lsa tree viewers ('hdf5' also covers netCDF4, whose
+    container is HDF5; 'idl' is the IDL-save format bin/lsa lists).
+    """
+    with open(fname, 'rb') as fh:
+        magic = fh.read(8)
+    if magic[:4] == b'\x0e\x03\x13\x01':
+        return 'hdf4'
+    if magic[:3] == b'CDF':
+        return 'nc3'
+    if magic[:2] == b'SR':
+        return 'idl'
+    return 'hdf5'
+
+
 def open_any(fname):
     """Open a data granule with the best available backend."""
     if not os.path.exists(fname):
         raise FileNotFoundError(fname)
-    with open(fname, 'rb') as fh:
-        magic = fh.read(8)
-    if magic[:4] == b'\x0e\x03\x13\x01':            # HDF4
+    fmt = sniff_format(fname)
+    if fmt == 'hdf4':
         try:
             return _H4Adapter(fname)
         except ImportError as e:
             raise ImportError(
                 f'{fname} is HDF4 (MODIS collection format); install pyhdf '
                 'to read it') from e
-    if magic[:3] == b'CDF':                          # netCDF3 classic
+    if fmt == 'nc3':                                 # netCDF3 classic
         return _NC3Adapter(fname)
     # HDF5 (covers netCDF4)
     try:

@@ -4,7 +4,7 @@ The reference's ``er3t.vis.intv.compare_data_2d`` builds a Bokeh page with
 linked side-by-side images and hover readout (er3t/vis/intv.py:16-...).
 Bokeh is not a framework dependency here; this module writes a fully
 self-contained HTML page (inline canvas + JS, zero external assets) with
-the same interactions: linked pan/zoom between the two panels, a shared
+the same interactions: linked hover readout and a shared intensity-scale slider, a shared
 hover readout showing (ix, iy, value_left, value_right, difference), and a
 colormap range slider.
 """
@@ -102,8 +102,11 @@ def compare_data_2d_html(data0, data1, name0='data 0', name1='data 1',
     nx, ny = a.shape
     scale = max(1, int(480 / max(nx, ny)))
     if vmax is None:
-        vmax = float(np.nanpercentile(np.concatenate([a.ravel(), b.ravel()]),
-                                      99.0)) or 1.0
+        with np.errstate(all='ignore'):
+            vmax = float(np.nanpercentile(
+                np.concatenate([a.ravel(), b.ravel()]), 99.0))
+        if not np.isfinite(vmax) or vmax == 0.0:   # all-NaN/zero fields
+            vmax = 1.0
     a = np.nan_to_num(a)
     b = np.nan_to_num(b)
     html = _PAGE.format(

@@ -33,6 +33,7 @@ def quicklook_radiance(rad, fname=None, title='Radiance', extent=None,
     ax.set_ylabel('y')
     if fname:
         fig.savefig(fname, dpi=150, bbox_inches='tight')
+        plt.close(fig)     # batch loops must not accumulate open figures
     return fig
 
 
@@ -52,6 +53,7 @@ def plot_flux_profile(flux, z_lev_km, fname=None, title='Flux profile'):
     ax.set_title(title)
     if fname:
         fig.savefig(fname, dpi=150, bbox_inches='tight')
+        plt.close(fig)     # batch loops must not accumulate open figures
     return fig
 
 
@@ -75,4 +77,5 @@ def compare_data_2d(data0, data1, labels=('A', 'B'), fname=None):
     axes[2].set_title(f'r = {r:.4f}')
     if fname:
         fig.savefig(fname, dpi=150, bbox_inches='tight')
+        plt.close(fig)     # batch loops must not accumulate open figures
     return fig

@@ -48,7 +48,7 @@ def main_pre(args):
     obs = None
     if args.l1b:
         from er3t_tpu.sat.oco2 import oco2_rad_nadir
-        obj = oco2_rad_nadir(args.l1b)
+        obj = oco2_rad_nadir(args.l1b, extent=tuple(args.extent))
         spec = np.asarray(obj.data['rad']['data'])  # (Nsound*8, Nsamp) —
         #                                 the reader flattens the 8 across-
         #                                 track footprints; spectra stay
@@ -70,7 +70,11 @@ def main_pre(args):
                                 solar_zenith_angle=args.sza,
                                 photons=args.photons / 10)
         mu0 = np.cos(np.deg2rad(args.sza))
-        ref = rad * np.pi / (curve.__dict__.get('toa', 1.0) * mu0)
+        # pi L / (E_toa mu0): the curve's reflectance convention (its
+        # .toa is the TOA irradiance in framework units — convert real
+        # photon-count L1B radiances with sat.oco2.photon_to_radiance
+        # first)
+        ref = rad * np.pi / (curve.toa * mu0)
         n = min(args.nx * args.nx, ref.size)
         cot = np.zeros(args.nx * args.nx)
         cot[:n] = curve.get_cot_from_ref(np.clip(ref.ravel()[:n], 0, None))

@@ -149,6 +149,8 @@ def main():
                     help='.npz with a 600 nm radiance image under key "rad"')
     ap.add_argument('--wavelength', type=float, default=600.0)
     ap.add_argument('--photons', type=float, default=1e6)
+    ap.add_argument('--fast-curve', action='store_true',
+                    help='single-IPA-scene retrieval curve (faster)')
     ap.add_argument('--nx', type=int, default=48)
     ap.add_argument('--dx', type=float, default=0.25)
     ap.add_argument('--sza', type=float, default=30.0)

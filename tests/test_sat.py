@@ -927,3 +927,28 @@ def test_download_modis_rgb_offline():
         assert fn2.endswith('.png') and not os.path.exists(fn2)
     with pytest.raises(ValueError):
         download_modis_rgb(d, ext, which='suomi', run=False)
+
+
+def test_ncio_cf_packing_convention(tmp_path):
+    """netCDF/HDF5 variables are CF-packed (raw*scale + offset); HDF4
+    uses (raw - offset)*scale.  A 150-offset temperature must come back
+    as ~270 K, not -1.4 (regression: one convention was applied to all
+    backends)."""
+    from er3t_tpu.util.ncio import apply_scaling, open_any
+
+    fn = os.path.join(tmp_path, 'cf.nc')
+    with h5py.File(fn, 'w') as f:
+        d = f.create_dataset('ctt', data=np.array([12000], np.int16))
+        d.attrs['scale_factor'] = 0.01
+        d.attrs['add_offset'] = 150.0
+    f = open_any(fn)
+    try:
+        raw, attrs = f.var('ctt')
+        val = apply_scaling(raw, attrs)
+    finally:
+        f.close()
+    assert val[0] == pytest.approx(270.0)
+    # untagged attrs keep the HDF4/MODIS convention
+    assert apply_scaling(np.array([1000.0]),
+                         {'scale_factor': 0.01, 'add_offset': 100.0}
+                         )[0] == pytest.approx(9.0)
